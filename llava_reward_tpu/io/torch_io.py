@@ -1,0 +1,74 @@
+"""Torch-side checkpoint IO (host only; never on the TPU compute path).
+
+Reads/writes the reference's on-disk formats: sharded/single
+``pytorch_model*.bin`` (torch.save zip) and ``*.safetensors``. torch runs
+CPU-only here purely as a (de)serialiser.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+from typing import Dict, Iterable, Optional
+
+import numpy as np
+
+
+def _to_numpy(t) -> np.ndarray:
+    import torch
+
+    if t.dtype == torch.bfloat16:
+        # numpy has no bf16; keep values exact via float32 round-trip
+        return t.detach().to(torch.float32).cpu().numpy()
+    return t.detach().cpu().numpy()
+
+
+def load_torch_state_dict(path: str) -> Dict[str, np.ndarray]:
+    """Load a model dir (HF layout, handling shard index files) or a single
+    .bin/.safetensors file into {key: np.ndarray}."""
+    import torch
+
+    if os.path.isdir(path):
+        out: Dict[str, np.ndarray] = {}
+        st_index = os.path.join(path, "model.safetensors.index.json")
+        bin_index = os.path.join(path, "pytorch_model.bin.index.json")
+        if os.path.exists(st_index):
+            with open(st_index) as f:
+                shards = sorted(set(json.load(f)["weight_map"].values()))
+            for shard in shards:
+                out.update(load_torch_state_dict(os.path.join(path, shard)))
+        elif os.path.exists(bin_index):
+            with open(bin_index) as f:
+                shards = sorted(set(json.load(f)["weight_map"].values()))
+            for shard in shards:
+                out.update(load_torch_state_dict(os.path.join(path, shard)))
+        else:
+            for name in ("model.safetensors", "pytorch_model.bin"):
+                p = os.path.join(path, name)
+                if os.path.exists(p):
+                    return load_torch_state_dict(p)
+            raise FileNotFoundError(f"no checkpoint found under {path}")
+        return out
+
+    if path.endswith(".safetensors"):
+        from safetensors.torch import load_file
+
+        sd = load_file(path)
+    else:
+        sd = torch.load(path, map_location="cpu", weights_only=True)
+    return {k: _to_numpy(v) for k, v in sd.items()}
+
+
+def save_torch_state_dict(sd: Dict[str, np.ndarray], path: str, dtype=None) -> None:
+    """Write {key: np.ndarray} as a torch .bin (the reference artifact format,
+    deepspeed.py:383). ``dtype``: optional torch dtype (e.g. torch.bfloat16)."""
+    import torch
+
+    out = {}
+    for k, v in sd.items():
+        t = torch.from_numpy(np.asarray(v))
+        if dtype is not None:
+            t = t.to(dtype)
+        out[k] = t
+    os.makedirs(os.path.dirname(path) or ".", exist_ok=True)
+    torch.save(out, path)

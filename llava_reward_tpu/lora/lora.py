@@ -1,0 +1,156 @@
+"""LoRA adapters as stacked param trees + PEFT checkpoint interop.
+
+Reference behaviour: PEFT LoRA on the decoder's fused projections
+(create_lora_config, utils/utils.py:194-222: qkv_proj, o_proj, down_proj,
+gate_up_proj; r=128, alpha=256, dropout=0.05 in the published configs) with
+W' = W + (alpha/r) * B A, A ~ kaiming-uniform, B = 0.
+
+TPU-first design: adapters live in a separate pytree with a leading layer
+axis, scanned together with the frozen stacked base weights
+(models/phi3.py:_maybe_lora) — the frozen 4B base stays sharded/immutable,
+the trainable tree is tiny, and differentiation targets only this tree
+(no optimizer masking needed).
+
+PEFT on-disk format (lora/adapter_model.bin,
+reward_adaptor_loader.py:44-45):
+  base_model.model.model.layers.{i}.self_attn.qkv_proj.lora_A.weight (r, in)
+  base_model.model.model.layers.{i}.self_attn.qkv_proj.lora_B.weight (out, r)
+  (mlp.gate_up_proj / mlp.down_proj / self_attn.o_proj likewise)
+"""
+
+from __future__ import annotations
+
+import math
+from typing import Dict, Optional, Sequence
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import DecoderConfig
+
+DEFAULT_TARGETS = ("qkv_proj", "o_proj", "gate_up_proj", "down_proj")
+
+_PEFT_PATH = {
+    "qkv_proj": "self_attn.qkv_proj",
+    "o_proj": "self_attn.o_proj",
+    "gate_up_proj": "mlp.gate_up_proj",
+    "down_proj": "mlp.down_proj",
+}
+
+
+def _target_dims(cfg: DecoderConfig, name: str):
+    H, I = cfg.hidden_size, cfg.intermediate_size
+    return {
+        "qkv_proj": (H, cfg.q_size + 2 * cfg.kv_size),
+        "o_proj": (cfg.q_size, H),
+        "gate_up_proj": (H, 2 * I),
+        "down_proj": (I, H),
+    }[name]
+
+
+def init_lora(
+    key: jax.Array,
+    cfg: DecoderConfig,
+    rank: int,
+    alpha: float,
+    targets: Sequence[str] = DEFAULT_TARGETS,
+    dtype=jnp.float32,
+) -> dict:
+    """A ~ kaiming-uniform(a=sqrt(5)) over (r, in) like PEFT; B = 0."""
+    L = cfg.num_layers
+    tree = {}
+    keys = jax.random.split(key, len(targets))
+    for k, name in zip(keys, targets):
+        in_dim, out_dim = _target_dims(cfg, name)
+        bound = math.sqrt(6.0 / in_dim)  # kaiming_uniform_ with a=sqrt(5) on fan_in
+        a = jax.random.uniform(k, (L, in_dim, rank), minval=-bound, maxval=bound)
+        tree[name] = {
+            "a": a.astype(dtype),
+            "b": jnp.zeros((L, rank, out_dim), dtype),
+            "scale": jnp.full((L,), alpha / rank, dtype),
+        }
+    return tree
+
+
+def merge_lora(base_layers: dict, lora: dict) -> dict:
+    """Fold adapters into the frozen stacked weights (merge-at-load for pure
+    inference: zero per-step overhead)."""
+    merged = dict(base_layers)
+    for name, t in lora.items():
+        delta = jnp.einsum("lir,lro->lio", t["a"], t["b"]) * t["scale"][:, None, None]
+        merged[name] = base_layers[name] + delta.astype(base_layers[name].dtype)
+    return merged
+
+
+def peft_state_to_stacked(
+    sd: Dict[str, np.ndarray],
+    cfg: DecoderConfig,
+    alpha: float,
+    rank: int,
+    targets: Sequence[str] = DEFAULT_TARGETS,
+    dtype=np.float32,
+) -> dict:
+    """PEFT adapter_model dict -> stacked lora tree. Accepts both
+    'base_model.model.model.layers...' and 'model.layers...' prefixes and
+    optional '.default.' adapter-name segments."""
+
+    def find(i, path, ab):
+        suffixes = [
+            f"model.layers.{i}.{path}.lora_{ab}.weight",
+            f"model.layers.{i}.{path}.lora_{ab}.default.weight",
+        ]
+        for k, v in sd.items():
+            for s in suffixes:
+                if k.endswith(s):
+                    return v
+        raise KeyError(f"missing lora weight for layer {i} {path} {ab}")
+
+    tree = {}
+    for name in targets:
+        path = _PEFT_PATH[name]
+        a = np.stack(
+            [find(i, path, "A").astype(dtype).T for i in range(cfg.num_layers)]
+        )  # (L, in, r)
+        b = np.stack(
+            [find(i, path, "B").astype(dtype).T for i in range(cfg.num_layers)]
+        )  # (L, r, out)
+        tree[name] = {
+            "a": a,
+            "b": b,
+            "scale": np.full((cfg.num_layers,), alpha / rank, dtype),
+        }
+    return tree
+
+
+def stacked_to_peft_state(
+    lora: dict, cfg: DecoderConfig
+) -> Dict[str, np.ndarray]:
+    """Stacked lora tree -> PEFT adapter_model dict (so the reference's
+    model.load_adapter can consume our trained adapters)."""
+    sd: Dict[str, np.ndarray] = {}
+    for name, t in lora.items():
+        path = _PEFT_PATH[name]
+        a = np.asarray(t["a"])  # (L, in, r)
+        b = np.asarray(t["b"])  # (L, r, out)
+        for i in range(cfg.num_layers):
+            prefix = f"base_model.model.model.layers.{i}.{path}"
+            sd[f"{prefix}.lora_A.weight"] = np.ascontiguousarray(a[i].T)
+            sd[f"{prefix}.lora_B.weight"] = np.ascontiguousarray(b[i].T)
+    return sd
+
+
+def peft_adapter_config(
+    rank: int, alpha: float, dropout: float, targets: Sequence[str] = DEFAULT_TARGETS
+) -> dict:
+    """adapter_config.json matching create_lora_config (utils/utils.py:194-222)."""
+    return {
+        "peft_type": "LORA",
+        "task_type": "CAUSAL_LM",
+        "r": int(rank),
+        "lora_alpha": float(alpha),
+        "lora_dropout": float(dropout),
+        "bias": "none",
+        "target_modules": list(targets),
+        "base_model_name_or_path": None,
+    }

@@ -1,0 +1,152 @@
+"""CLIP ViT vision tower (ViT-L/14-336 for Phi-3.5-V), TPU-first.
+
+Reference behaviour (modeling_phi3_v.py:68-83,208-219): run the HF
+CLIPVisionModel, take hidden_states[-2] (penultimate layer output, i.e. the
+output after 23 of 24 layers, before post-layernorm) and drop the CLS token.
+
+TPU-first design decisions:
+- the patch "conv" (stride == kernel) is a reshape + one big matmul on the
+  MXU instead of a convolution;
+- encoder layers are stacked along a leading layer axis and executed with
+  ``lax.scan`` (single compiled layer body, FSDP-shardable, remat-friendly);
+- only ``num_active_layers`` (23) are ever executed: the final layer's output
+  is unused by feature extraction, so it is never computed (the reference's
+  patch_clip_for_lora does the same by truncation, utils/utils.py:264-282).
+
+Param tree (all linear kernels stored (in, out) so apply is ``x @ W + b``):
+  {
+    'class_embedding': (H,),
+    'patch_proj': (P*P*C, H),            # flat order (ph, pw, C)
+    'position_embedding': (577, H),
+    'pre_layernorm': {'weight','bias'},
+    'layers': {                          # each leaf has leading layer axis L
+      'ln1': {'weight','bias'}, 'ln2': {'weight','bias'},
+      'attn': {'q'|'k'|'v'|'out': {'kernel','bias'}},
+      'mlp': {'fc1'|'fc2': {'kernel','bias'}},
+    },
+    'post_layernorm': {'weight','bias'},  # loaded for ckpt parity; unused
+  }
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import VisionConfig
+from ..ops.activations import ACT2FN
+from ..ops.attention import mha
+from ..ops.norms import layer_norm
+
+
+def init_params(key: jax.Array, cfg: VisionConfig, dtype=jnp.float32) -> dict:
+    ks = jax.random.split(key, 8)
+    H, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    P, C = cfg.patch_size, cfg.num_channels
+    std = 0.02
+
+    def dense(k, shape):
+        return (jax.random.normal(k, shape) * std).astype(dtype)
+
+    def stacked(k, in_dim, out_dim):
+        return {
+            "kernel": dense(k, (L, in_dim, out_dim)),
+            "bias": jnp.zeros((L, out_dim), dtype),
+        }
+
+    return {
+        "class_embedding": dense(ks[0], (H,)),
+        "patch_proj": dense(ks[1], (P * P * C, H)),
+        "position_embedding": dense(ks[2], (cfg.num_positions, H)),
+        "pre_layernorm": {"weight": jnp.ones((H,), dtype), "bias": jnp.zeros((H,), dtype)},
+        "layers": {
+            "ln1": {"weight": jnp.ones((L, H), dtype), "bias": jnp.zeros((L, H), dtype)},
+            "ln2": {"weight": jnp.ones((L, H), dtype), "bias": jnp.zeros((L, H), dtype)},
+            "attn": {
+                "q": stacked(ks[3], H, H),
+                "k": stacked(ks[4], H, H),
+                "v": stacked(ks[5], H, H),
+                "out": stacked(ks[6], H, H),
+            },
+            "mlp": {"fc1": stacked(ks[7], H, I), "fc2": stacked(ks[7], I, H)},
+        },
+        "post_layernorm": {"weight": jnp.ones((H,), dtype), "bias": jnp.zeros((H,), dtype)},
+    }
+
+
+def embed_patches(params: dict, cfg: VisionConfig, pixel_values: jnp.ndarray) -> jnp.ndarray:
+    """pixel_values: (N, H_img, W_img, C) channels-last, CLIP-normalised.
+
+    Returns (N, 1+num_patches, H) embeddings (CLS + patches + positions).
+    """
+    N, Himg, Wimg, C = pixel_values.shape
+    P = cfg.patch_size
+    gh, gw = Himg // P, Wimg // P
+    x = pixel_values.reshape(N, gh, P, gw, P, C)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(N, gh * gw, P * P * C)
+    patches = jnp.dot(
+        x, params["patch_proj"], preferred_element_type=x.dtype
+    )  # (N, gh*gw, H)
+    cls = jnp.broadcast_to(
+        params["class_embedding"][None, None, :], (N, 1, cfg.hidden_size)
+    ).astype(patches.dtype)
+    emb = jnp.concatenate([cls, patches], axis=1)
+    return emb + params["position_embedding"][None].astype(patches.dtype)
+
+
+def _encoder_layer(h, lp, cfg: VisionConfig, attn_impl: str):
+    act = ACT2FN[cfg.hidden_act]
+    nh, hd = cfg.num_heads, cfg.head_dim
+    N, S, H = h.shape
+
+    residual = h
+    x = layer_norm(h, lp["ln1"]["weight"], lp["ln1"]["bias"], cfg.layer_norm_eps)
+    q = x @ lp["attn"]["q"]["kernel"] + lp["attn"]["q"]["bias"]
+    k = x @ lp["attn"]["k"]["kernel"] + lp["attn"]["k"]["bias"]
+    v = x @ lp["attn"]["v"]["kernel"] + lp["attn"]["v"]["bias"]
+    q = q.reshape(N, S, nh, hd)
+    k = k.reshape(N, S, nh, hd)
+    v = v.reshape(N, S, nh, hd)
+    attn = mha(q, k, v, causal=False, impl=attn_impl).reshape(N, S, H)
+    h = residual + (attn @ lp["attn"]["out"]["kernel"] + lp["attn"]["out"]["bias"])
+
+    residual = h
+    x = layer_norm(h, lp["ln2"]["weight"], lp["ln2"]["bias"], cfg.layer_norm_eps)
+    x = act(x @ lp["mlp"]["fc1"]["kernel"] + lp["mlp"]["fc1"]["bias"])
+    x = x @ lp["mlp"]["fc2"]["kernel"] + lp["mlp"]["fc2"]["bias"]
+    return residual + x
+
+
+def extract_patch_features(
+    params: dict,
+    cfg: VisionConfig,
+    pixel_values: jnp.ndarray,  # (N, H_img, W_img, C)
+    *,
+    attn_impl: str = "auto",
+    remat: bool = False,
+) -> jnp.ndarray:
+    """Penultimate-layer patch features, CLS dropped: (N, num_patches, H).
+
+    Matches Phi3ImageEmbedding.get_img_features (modeling_phi3_v.py:208-219).
+    """
+    h = embed_patches(params, cfg, pixel_values)
+    h = layer_norm(
+        h,
+        params["pre_layernorm"]["weight"],
+        params["pre_layernorm"]["bias"],
+        cfg.layer_norm_eps,
+    )
+    n_active = cfg.num_active_layers
+    layers = jax.tree_util.tree_map(lambda x: x[:n_active], params["layers"])
+
+    body = _encoder_layer
+    if remat:
+        body = jax.checkpoint(body, static_argnums=(2, 3))
+
+    def scan_fn(carry, lp):
+        return body(carry, lp, cfg, attn_impl), None
+
+    h, _ = jax.lax.scan(scan_fn, h, layers)
+    return h[:, 1:, :]  # drop CLS

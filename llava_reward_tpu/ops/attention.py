@@ -1,0 +1,117 @@
+"""Attention entry point with XLA reference implementation and Pallas dispatch.
+
+Replaces flash-attn 2 in the reference (modeling_phi3_v.py:723-1032 and the
+CLIPAttentionFA2 swap-in :85-115). On TPU the padded-batch unpad/pad dance
+(bert_padding) is unnecessary: static shapes + masking inside the kernel.
+
+Layout convention everywhere: (batch, seq, heads, head_dim) -- no transposes
+between the projections and the kernel.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+
+NEG_INF = -0.7 * float(jnp.finfo(jnp.float32).max)
+
+
+def _build_bias(
+    q_len: int,
+    kv_len: int,
+    causal: bool,
+    key_padding_mask: Optional[jnp.ndarray],  # (B, kv_len) 1=valid
+    sliding_window: Optional[int],
+    dtype=jnp.float32,
+) -> Optional[jnp.ndarray]:
+    """Additive attention bias (B or 1, 1, q_len, kv_len)."""
+    bias = None
+    q_pos = jnp.arange(q_len)[:, None] + (kv_len - q_len)
+    k_pos = jnp.arange(kv_len)[None, :]
+    if causal:
+        allowed = k_pos <= q_pos
+        if sliding_window is not None and sliding_window < kv_len:
+            allowed = allowed & (k_pos > q_pos - sliding_window)
+        bias = jnp.where(allowed, 0.0, NEG_INF).astype(dtype)[None, None]
+    if key_padding_mask is not None:
+        pm = jnp.where(key_padding_mask.astype(bool), 0.0, NEG_INF).astype(dtype)
+        pm = pm[:, None, None, :]  # (B,1,1,kv)
+        bias = pm if bias is None else bias + pm
+    return bias
+
+
+def attention_reference(
+    q: jnp.ndarray,  # (B, Sq, H, D)
+    k: jnp.ndarray,  # (B, Skv, Hk, D)
+    v: jnp.ndarray,  # (B, Skv, Hk, D)
+    *,
+    causal: bool = False,
+    key_padding_mask: Optional[jnp.ndarray] = None,  # (B, Skv) 1=valid
+    sliding_window: Optional[int] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Pure-XLA attention, fp32 softmax (matches HF eager semantics,
+    modeling_phi3_v.py:640-660). GQA handled by head broadcasting."""
+    B, Sq, H, D = q.shape
+    _, Skv, Hk, _ = k.shape
+    if scale is None:
+        scale = 1.0 / (D ** 0.5)
+    n_rep = H // Hk
+    qh = q.reshape(B, Sq, Hk, n_rep, D)
+    scores = jnp.einsum(
+        "bqhrd,bkhd->bhrqk", qh, k, preferred_element_type=jnp.float32
+    ) * scale  # (B, Hk, n_rep, Sq, Skv)
+    bias = _build_bias(Sq, Skv, causal, key_padding_mask, sliding_window)
+    if bias is not None:
+        scores = scores + bias[:, :, None]  # broadcast over (Hk, n_rep)
+    probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
+    out = jnp.einsum("bhrqk,bkhd->bqhrd", probs, v)
+    return out.reshape(B, Sq, H, D)
+
+
+def mha(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = False,
+    key_padding_mask: Optional[jnp.ndarray] = None,
+    sliding_window: Optional[int] = None,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Dispatch: Pallas flash kernel on TPU, XLA reference elsewhere.
+
+    ``impl``: "auto" | "pallas" | "xla".
+    """
+    if impl == "auto":
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:
+            on_tpu = False
+        impl = "pallas" if on_tpu else "xla"
+    if impl == "pallas":
+        from .flash_attention import flash_attention
+
+        return flash_attention(
+            q,
+            k,
+            v,
+            causal=causal,
+            key_padding_mask=key_padding_mask,
+            sliding_window=sliding_window,
+            scale=scale,
+        )
+    return attention_reference(
+        q,
+        k,
+        v,
+        causal=causal,
+        key_padding_mask=key_padding_mask,
+        sliding_window=sliding_window,
+        scale=scale,
+    )

@@ -1,0 +1,140 @@
+"""Mesh + sharding rules: the TPU-native replacement for DeepSpeed ZeRO.
+
+Reference runtime (llava_reward/utils/deepspeed.py): NCCL process groups +
+ZeRO-1/2/3 partitioning + ZeRO++ hpZ. TPU-native equivalent (SURVEY.md §2c):
+one ``jax.sharding.Mesh`` with axes
+
+  dp    pure data parallelism (params replicated)       — ZeRO-0
+  fsdp  params/optimizer state sharded over this axis    — ZeRO-3
+  tp    tensor parallelism over heads / mlp hidden       — (beyond reference)
+
+Batches shard over (dp, fsdp); XLA inserts the all-gathers/reduce-scatters
+that DeepSpeed does by hand, and lays them on ICI. ZeRO++ hpZ ≈ putting fsdp
+on the ICI-local mesh dims and dp across DCN — with ``create_hybrid_mesh``.
+
+Sharding is expressed as path-based rules over the param pytree, so model
+code stays annotation-free.
+"""
+
+from __future__ import annotations
+
+import re
+from typing import Optional, Sequence, Tuple
+
+import jax
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+
+def create_mesh(
+    dp: int = 1, fsdp: int = -1, tp: int = 1, devices=None
+) -> Mesh:
+    """Build a (dp, fsdp, tp) mesh. fsdp=-1 absorbs the remaining devices."""
+    devices = np.asarray(devices if devices is not None else jax.devices())
+    n = devices.size
+    if fsdp == -1:
+        assert n % (dp * tp) == 0, (n, dp, tp)
+        fsdp = n // (dp * tp)
+    assert dp * fsdp * tp == n, f"mesh {dp}x{fsdp}x{tp} != {n} devices"
+    return Mesh(devices.reshape(dp, fsdp, tp), ("dp", "fsdp", "tp"))
+
+
+def create_hybrid_mesh(dp_dcn: int, fsdp_ici: int, tp: int = 1) -> Mesh:
+    """Multi-slice layout: fsdp inside a slice (ICI), dp across slices (DCN)
+    — the ZeRO++ hpZ analogue (deepspeed_utils.py:39)."""
+    from jax.experimental import mesh_utils
+
+    devices = mesh_utils.create_hybrid_device_mesh(
+        (1, fsdp_ici, tp), (dp_dcn, 1, 1)
+    )
+    return Mesh(devices, ("dp", "fsdp", "tp"))
+
+
+# (regex over 'a/b/c' joined tree path) -> PartitionSpec
+# Stacked decoder/vision layers have a leading L axis (never sharded: scan).
+_PARAM_RULES: Sequence[Tuple[str, P]] = (
+    # decoder
+    (r".*embed_tokens$", P("fsdp", "tp")),
+    (r".*layers/qkv_proj$", P(None, "fsdp", "tp")),
+    (r".*layers/o_proj$", P(None, "tp", "fsdp")),
+    (r".*layers/gate_up_proj$", P(None, "fsdp", "tp")),
+    (r".*layers/down_proj$", P(None, "tp", "fsdp")),
+    (r".*layers/(input|post_attention)_layernorm$", P()),
+    (r".*final_layernorm$", P()),
+    (r".*lm_head$", P("fsdp", "tp")),
+    # clip tower
+    (r".*clip/patch_proj$", P("fsdp", None)),
+    (r".*clip/position_embedding$", P()),
+    (r".*clip/class_embedding$", P()),
+    (r".*clip/layers/attn/(q|k|v)/kernel$", P(None, "fsdp", "tp")),
+    (r".*clip/layers/attn/out/kernel$", P(None, "tp", "fsdp")),
+    (r".*clip/layers/mlp/fc1/kernel$", P(None, "fsdp", "tp")),
+    (r".*clip/layers/mlp/fc2/kernel$", P(None, "tp", "fsdp")),
+    # projector
+    (r".*img_projection/fc1/kernel$", P("fsdp", "tp")),
+    (r".*img_projection/fc2/kernel$", P("fsdp", "tp")),
+    # lora (tiny: shard the big input dim of A over fsdp, replicate B)
+    (r".*lora.*/a$", P(None, "fsdp", None)),
+    (r".*lora.*/b$", P()),
+    # reward heads / skipca (tiny, replicated)
+    (r".*(value_head|prompt_head)/kernel$", P()),
+    (r".*W_[qkv]/kernel$", P("fsdp", "tp")),
+)
+
+
+def spec_for_path(path: str, leaf=None) -> P:
+    for pattern, spec in _PARAM_RULES:
+        if re.match(pattern, path):
+            if leaf is not None and len(spec) > getattr(leaf, "ndim", 99):
+                return P()
+            return spec
+    return P()  # default: replicate (norms, biases, scales)
+
+
+def _path_str(path) -> str:
+    parts = []
+    for p in path:
+        if hasattr(p, "key"):
+            parts.append(str(p.key))
+        elif hasattr(p, "idx"):
+            parts.append(str(p.idx))
+        else:
+            parts.append(str(p))
+    return "/".join(parts)
+
+
+def param_specs(params) -> dict:
+    """Pytree of PartitionSpecs matching ``params``."""
+    return jax.tree_util.tree_map_with_path(
+        lambda path, leaf: spec_for_path(_path_str(path), leaf), params
+    )
+
+
+def param_shardings(params, mesh: Mesh):
+    return jax.tree_util.tree_map(
+        lambda spec: NamedSharding(mesh, spec), param_specs(params)
+    )
+
+
+def shard_params(params, mesh: Mesh):
+    """Device-put the tree with its rule-derived shardings."""
+    return jax.tree_util.tree_map(
+        lambda x, s: jax.device_put(x, s), params, param_shardings(params, mesh)
+    )
+
+
+def batch_spec() -> P:
+    """Batches shard over the combined data axes."""
+    return P(("dp", "fsdp"))
+
+
+def batch_sharding(mesh: Mesh, leaf) -> NamedSharding:
+    if getattr(leaf, "ndim", 0) == 0:
+        return NamedSharding(mesh, P())
+    return NamedSharding(mesh, P(("dp", "fsdp"), *([None] * (leaf.ndim - 1))))
+
+
+def shard_batch(batch, mesh: Mesh):
+    return jax.tree_util.tree_map(
+        lambda x: jax.device_put(x, batch_sharding(mesh, x)), batch
+    )

@@ -1,0 +1,355 @@
+"""Host-side Phi-3.5-V processor: HD multi-crop geometry, normalisation,
+tokenised text/image splicing, and the static-shape index arrays the TPU
+forward consumes.
+
+Reference behaviour reproduced (processing_phi3_v.py):
+- HD_transform (:83-104): transpose-if-portrait, scale search
+  ``scale * ceil(scale/ratio) <= num_crops``, bilinear resize to
+  (new_w = scale*336, new_h = new_w/ratio), white top/bottom pad to a
+  multiple of 336, transpose back;
+- CLIP normalise, global 336x336 bicubic downsample (:263-265), crop grid
+  reshape (:272), concat [global]+crops and zero-pad to num_crops+1
+  (:128-136,277);
+- ``num_img_tokens = ((h/336)*(w/336)+1)*144 + 1 + (h/336+1)*12`` (:269);
+- text splitting on ``<|image_\\d+|>`` and insertion of per-image token runs
+  (:407-454); attention mask all-ones over both text and image positions
+  (:449).
+
+TPU-first difference: instead of negative sentinel token ids, we emit
+  * ``img_gather_idx``: the dense feature-bank gather (see models/phi3v.py)
+    that encodes the HD [sub+newline, glb_GN, global+newline] ordering,
+  * ``splice_idx``: per sequence position, the image-token slot or -1,
+so the device code is all static-shape gathers.
+
+The global-image bicubic downsample uses torch (CPU) when available for
+bit parity with the reference's F.interpolate(mode='bicubic'); otherwise a
+numpy implementation of the same cubic-convolution (a=-0.75) resampler.
+"""
+
+from __future__ import annotations
+
+import math
+import re
+from dataclasses import dataclass
+from typing import Any, List, Optional, Sequence, Tuple
+
+import numpy as np
+
+OPENAI_CLIP_MEAN = np.array([0.48145466, 0.4578275, 0.40821073], dtype=np.float32)
+OPENAI_CLIP_STD = np.array([0.26862954, 0.26130258, 0.27577711], dtype=np.float32)
+
+IMAGE_TAG_PATTERN = re.compile(r"<\|image_(\d+)\|>")
+
+
+# --------------------------------------------------------------- geometry
+
+def hd_transform_scale(width: int, height: int, hd_num: int = 16) -> Tuple[int, int, bool]:
+    """Return (new_w, new_h, transposed) for the landscape-oriented image.
+
+    Mirrors HD_transform's scale search (processing_phi3_v.py:83-104).
+    """
+    transposed = False
+    if width < height:
+        width, height = height, width
+        transposed = True
+    ratio = width / height
+    scale = 1
+    while scale * math.ceil(scale / ratio) <= hd_num:
+        scale += 1
+    scale -= 1
+    new_w = int(scale * 336)
+    new_h = int(new_w / ratio)
+    return new_w, new_h, transposed
+
+
+def padded_size(new_w: int, new_h: int) -> Tuple[int, int]:
+    """White-pad height up to a multiple of 336 (padding_336, :61-75)."""
+    target_h = int(math.ceil(new_h / 336) * 336)
+    return new_w, target_h
+
+
+def calc_hd_transform_size(width: int, height: int, hd_num: int = 16) -> Tuple[int, int]:
+    """Final (w, h) after HD transform incl. transpose-back (:104-125)."""
+    new_w, new_h, transposed = hd_transform_scale(width, height, hd_num)
+    pw, ph = padded_size(new_w, new_h)
+    if transposed:
+        pw, ph = ph, pw
+    return pw, ph
+
+
+def num_img_tokens_for(h: int, w: int) -> int:
+    """(:269) — h, w are the padded HD sizes (multiples of 336)."""
+    hc, wc = h // 336, w // 336
+    return int((hc * wc + 1) * 144 + 1 + (hc + 1) * 12)
+
+
+def max_num_img_tokens(num_crops: int = 16) -> int:
+    """Static image-token budget: worst case over h_crop*w_crop <= num_crops
+    (maximised by an extreme num_crops x 1 aspect ratio)."""
+    best = 0
+    for hc in range(1, num_crops + 1):
+        for wc in range(1, num_crops + 1):
+            if hc * wc <= num_crops:
+                best = max(best, num_img_tokens_for(hc * 336, wc * 336))
+    return best
+
+
+def build_img_gather_idx(
+    h_crop: int, w_crop: int, num_crops: int, budget: int, merge_grid: int = 12
+) -> np.ndarray:
+    """Indices into the dense feature bank for one image's token sequence.
+
+    Bank layout (models/phi3v.py): crop c's merged patch (i, j) lives at
+    ``c*G^2 + i*G + j`` (G = merge_grid); row ``(num_crops+1)*G^2`` is
+    sub_GN, the next row is glb_GN. Ordering matches hd_feature_transform
+    (modeling_phi3_v.py:254-303): sub crops row-major with a newline after
+    each of the h_crop*G rows, then glb_GN, then the global crop (index 0)
+    with its newlines.
+    """
+    G = merge_grid
+    g2 = G * G
+    sub_gn = (num_crops + 1) * g2
+    glb_gn = sub_gn + 1
+
+    # sub-image rows: R in [0, h_crop*G), columns [0, w_crop*G) + newline
+    R = np.arange(h_crop * G)[:, None]
+    Cc = np.arange(w_crop * G)[None, :]
+    crop = 1 + (R // G) * w_crop + (Cc // G)
+    idx_grid = crop * g2 + (R % G) * G + (Cc % G)  # (h_crop*G, w_crop*G)
+    rows = np.concatenate(
+        [idx_grid, np.full((h_crop * G, 1), sub_gn, dtype=np.int64)], axis=1
+    ).reshape(-1)
+
+    # global crop grid + newlines
+    gi = np.arange(G)[:, None]
+    gj = np.arange(G)[None, :]
+    glb_grid = 0 * g2 + gi * G + gj
+    glb_rows = np.concatenate(
+        [glb_grid, np.full((G, 1), sub_gn, dtype=np.int64)], axis=1
+    ).reshape(-1)
+
+    idx = np.concatenate([rows, np.array([glb_gn], dtype=np.int64), glb_rows])
+    n = idx.shape[0]
+    assert n == num_img_tokens_for(h_crop * 336, w_crop * 336), (n, h_crop, w_crop)
+    if n > budget:
+        raise ValueError(f"image token count {n} exceeds budget {budget}")
+    out = np.full((budget,), sub_gn, dtype=np.int32)  # pad value is masked out
+    out[:n] = idx
+    return out
+
+
+# --------------------------------------------------------------- resampling
+
+def _cubic_kernel(x: np.ndarray, a: float = -0.75) -> np.ndarray:
+    """Cubic-convolution kernel used by torch's bicubic (a = -0.75)."""
+    ax = np.abs(x)
+    ax2, ax3 = ax * ax, ax * ax * ax
+    w = np.where(
+        ax <= 1,
+        (a + 2) * ax3 - (a + 3) * ax2 + 1,
+        np.where(ax < 2, a * ax3 - 5 * a * ax2 + 8 * a * ax - 4 * a, 0.0),
+    )
+    return w
+
+
+def _resize_bicubic_1d(x: np.ndarray, out_size: int, axis: int) -> np.ndarray:
+    """torch F.interpolate(mode='bicubic', align_corners=False, antialias=False)
+    along one axis."""
+    in_size = x.shape[axis]
+    scale = in_size / out_size
+    # align_corners=False source coordinates
+    coords = (np.arange(out_size) + 0.5) * scale - 0.5
+    base = np.floor(coords).astype(np.int64)
+    frac = coords - base
+    taps = np.stack([base - 1, base, base + 1, base + 2], axis=1)  # (out, 4)
+    taps = np.clip(taps, 0, in_size - 1)
+    offs = np.stack([frac + 1, frac, 1 - frac, 2 - frac], axis=1)
+    weights = _cubic_kernel(offs)  # (out, 4)
+    x = np.moveaxis(x, axis, 0)
+    gathered = x[taps]  # (out, 4, ...)
+    out = np.einsum("ot,ot...->o...", weights, gathered)
+    return np.moveaxis(out, 0, axis)
+
+
+def resize_bicubic_np(img_chw: np.ndarray, size: Tuple[int, int]) -> np.ndarray:
+    """Bicubic resize (C, H, W) float32 -> (C, size0, size1), torch parity."""
+    out = _resize_bicubic_1d(img_chw, size[0], axis=1)
+    out = _resize_bicubic_1d(out, size[1], axis=2)
+    return out
+
+
+def bicubic_global_image(img_chw: np.ndarray) -> np.ndarray:
+    """336x336 global view of the normalised HD image (:265). Uses torch for
+    exact parity when importable."""
+    try:
+        import torch
+        import torch.nn.functional as F
+
+        t = torch.from_numpy(np.ascontiguousarray(img_chw)).unsqueeze(0).float()
+        return F.interpolate(t, size=(336, 336), mode="bicubic").squeeze(0).numpy()
+    except ImportError:
+        return resize_bicubic_np(img_chw, (336, 336))
+
+
+# --------------------------------------------------------------- image path
+
+def hd_transform_image(image, num_crops: int = 16) -> np.ndarray:
+    """PIL image -> HD-transformed uint8 RGB array (H, W, 3), H and W per
+    calc_hd_transform_size. Bilinear resize on PIL (same backend the
+    reference's torchvision resize uses on PIL inputs) + white padding."""
+    from PIL import Image
+
+    img = image.convert("RGB")
+    w, h = img.size
+    new_w, new_h, transposed = hd_transform_scale(w, h, num_crops)
+    if transposed:
+        img = img.transpose(Image.TRANSPOSE)
+    img = img.resize((new_w, new_h), Image.BILINEAR)
+    arr = np.asarray(img, dtype=np.uint8)
+    _, target_h = padded_size(new_w, new_h)
+    top = (target_h - new_h) // 2
+    bottom = target_h - new_h - top
+    arr = np.pad(
+        arr, ((top, bottom), (0, 0), (0, 0)), mode="constant", constant_values=255
+    )
+    if transposed:
+        arr = arr.transpose(1, 0, 2)  # transpose back (swap H and W)
+    return arr
+
+
+def preprocess_image(
+    image, num_crops: int = 16
+) -> Tuple[np.ndarray, Tuple[int, int], int]:
+    """Full image pipeline for one image.
+
+    Returns (pixel_values, (h, w), num_img_tokens) where pixel_values is
+    (num_crops+1, 336, 336, 3) float32 channels-last: [global, crops...],
+    zero-padded (matching pad_to_max_num_crops_tensor, :128-136).
+    """
+    arr = hd_transform_image(image, num_crops)  # (H, W, 3) uint8
+    h, w = arr.shape[:2]
+    x = arr.astype(np.float32) / 255.0
+    x = (x - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD  # (H, W, 3)
+
+    glb = bicubic_global_image(x.transpose(2, 0, 1)).transpose(1, 2, 0)  # (336,336,3)
+
+    hc, wc = h // 336, w // 336
+    crops = x.reshape(hc, 336, wc, 336, 3).transpose(0, 2, 1, 3, 4).reshape(
+        hc * wc, 336, 336, 3
+    )
+    out = np.zeros((num_crops + 1, 336, 336, 3), dtype=np.float32)
+    out[0] = glb
+    out[1 : 1 + hc * wc] = crops
+    return out, (h, w), num_img_tokens_for(h, w)
+
+
+# --------------------------------------------------------------- full sample
+
+@dataclass
+class ProcessedSample:
+    """One (text, image) sample, unpadded; the collator left-pads to the
+    static sequence length."""
+
+    input_ids: np.ndarray  # (s,) int32, image positions hold 0
+    attention_mask: np.ndarray  # (s,) int32 all ones (reference :449)
+    splice_idx: np.ndarray  # (s,) int32, slot index or -1
+    pixel_values: Optional[np.ndarray]  # (num_crops+1, 336, 336, 3) f32
+    img_gather_idx: Optional[np.ndarray]  # (T_img,) int32
+    num_img_tokens: int
+    image_size: Tuple[int, int]  # (h, w) post-HD
+
+
+class Phi3VProcessor:
+    """Tokeniser + image processor + splice-index builder.
+
+    ``tokenizer`` needs ``__call__(text).input_ids`` (HF-compatible) or may
+    be any callable ``text -> List[int]``.
+    """
+
+    def __init__(
+        self,
+        tokenizer,
+        num_crops: int = 16,
+        img_token_budget: Optional[int] = None,
+    ):
+        self.tokenizer = tokenizer
+        self.num_crops = num_crops
+        self.img_token_budget = (
+            img_token_budget
+            if img_token_budget is not None
+            else max_num_img_tokens(num_crops)
+        )
+
+    def _tokenize(self, text: str) -> List[int]:
+        out = self.tokenizer(text)
+        if hasattr(out, "input_ids"):
+            return list(out.input_ids)
+        if isinstance(out, dict):
+            return list(out["input_ids"])
+        return list(out)
+
+    def __call__(self, text: str, images: Sequence[Any] = ()) -> ProcessedSample:
+        if not images:
+            ids = np.asarray(self._tokenize(text), dtype=np.int32)
+            return ProcessedSample(
+                input_ids=ids,
+                attention_mask=np.ones_like(ids),
+                splice_idx=np.full_like(ids, -1),
+                pixel_values=None,
+                img_gather_idx=None,
+                num_img_tokens=0,
+                image_size=(0, 0),
+            )
+        if len(images) != 1:
+            raise NotImplementedError(
+                "v1 supports one image per sample (all reference dataset paths "
+                "use <|image_1|> only, reward_dataset.py:84-134)"
+            )
+
+        tags = IMAGE_TAG_PATTERN.findall(text)
+        unique = sorted(set(int(t) for t in tags))
+        if unique != list(range(1, len(unique) + 1)):
+            raise ValueError(f"image ids must be 1..n, got {unique}")
+        if len(unique) != len(images):
+            raise ValueError(
+                f"{len(unique)} image tags but {len(images)} images"
+            )
+
+        pixel_values, (h, w), n_img = preprocess_image(images[0], self.num_crops)
+        gather_idx = build_img_gather_idx(
+            h // 336, w // 336, self.num_crops, self.img_token_budget
+        ).astype(np.int32)
+
+        # re.split with a capturing group interleaves [text, tag_num, text, ...]
+        text_chunks = [self._tokenize(c) for c in IMAGE_TAG_PATTERN.split(text)[0::2]]
+
+        ids: List[int] = []
+        splice: List[int] = []
+        for i, chunk in enumerate(text_chunks):
+            ids.extend(chunk)
+            splice.extend([-1] * len(chunk))
+            if i < len(text_chunks) - 1:  # an image tag followed this chunk
+                ids.extend([0] * n_img)
+                splice.extend(range(n_img))
+
+        return ProcessedSample(
+            input_ids=np.asarray(ids, dtype=np.int32),
+            attention_mask=np.ones((len(ids),), dtype=np.int32),
+            splice_idx=np.asarray(splice, dtype=np.int32),
+            pixel_values=pixel_values,
+            img_gather_idx=gather_idx,
+            num_img_tokens=n_img,
+            image_size=(h, w),
+        )
+
+
+def apply_phi3v_chat_template(tokenizer, prompt: str) -> str:
+    """The dataset-layer prompt construction (reward_dataset.py:84-91):
+    chat template on one user turn ``<|image_1|>\\n{prompt}`` with
+    add_generation_prompt=True, the trailing 22 chars (the assistant cue)
+    sliced off, then EOS appended."""
+    msg = {"role": "user", "content": f"<|image_1|>\n{prompt}"}
+    templated = tokenizer.apply_chat_template(
+        [msg], tokenize=False, add_generation_prompt=True
+    )[:-22]
+    return templated + tokenizer.eos_token

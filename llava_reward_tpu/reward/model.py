@@ -1,0 +1,177 @@
+"""The reward model: backbone forward + SkipCA + pooling + value-head readout.
+
+Functional equivalent of CustomRewardModel.custom_forward
+(rw_model_general_preference.py:290-485), jit-compiled end to end. The pair
+(chosen, rejected) is scored by stacking along the batch axis in ONE forward
+— the reference's "concatenated_forward" actually runs two sequential
+forwards (rm_trainer_general_preference.py:447-460); batching is both faster
+and semantically identical.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+from typing import NamedTuple, Optional
+
+import jax
+import jax.numpy as jnp
+
+from ..core.config import Phi3VConfig, RewardConfig
+from ..models import phi3v
+from . import heads, skipca
+
+
+class RewardBatch(NamedTuple):
+    """Static-shape device batch produced by the processor/collator."""
+
+    input_ids: jnp.ndarray  # (B, S)
+    attention_mask: jnp.ndarray  # (B, S)
+    pixel_values: Optional[jnp.ndarray]  # (B, num_crops+1, crop, crop, 3)
+    img_gather_idx: Optional[jnp.ndarray]  # (B, T_img)
+    splice_idx: Optional[jnp.ndarray]  # (B, S)
+    num_img_tokens: Optional[jnp.ndarray]  # (B,)
+
+
+class RewardOutput(NamedTuple):
+    reward: jnp.ndarray  # (B, value_head_dim)
+    prompt_hidden: Optional[jnp.ndarray]  # (B, H) for the MoE prompt head
+    last_hidden: Optional[jnp.ndarray]
+
+
+def init_head_params(
+    key: jax.Array, cfg: Phi3VConfig, rcfg: RewardConfig, dtype=jnp.float32
+) -> dict:
+    """Initialise the trainable reward-specific modules (value head, optional
+    SkipCA and prompt head) — rw_model_general_preference.py:235-284."""
+    k1, k2, k3 = jax.random.split(key, 3)
+    H = cfg.decoder.hidden_size
+    dim = rcfg.value_head_dim if rcfg.is_general_preference else 1
+    p = {"value_head": heads.init_value_head(k1, H, dim, dtype)}
+    if rcfg.add_cross_attention:
+        p["skipca"] = skipca.init_params(k2, H, dtype)
+    if rcfg.is_general_preference and rcfg.add_prompt_head:
+        p["prompt_head"] = heads.init_prompt_head(k3, H, rcfg.value_head_dim, dtype)
+    return p
+
+
+def reward_forward(
+    params: dict,  # {'backbone': phi3v tree, 'head': head tree}
+    cfg: Phi3VConfig,
+    rcfg: RewardConfig,
+    batch: RewardBatch,
+    *,
+    training: bool = False,
+    attn_impl: str = "auto",
+    remat: bool = False,
+    lora: Optional[dict] = None,
+    prompt_end_index: Optional[jnp.ndarray] = None,  # (B,) for MoE prompt head
+    skipca_batch_max: Optional[jnp.ndarray] = None,  # (B,) see skipca.apply
+) -> RewardOutput:
+    attention_mask = batch.attention_mask
+    # position_ids = cumsum(mask)-1 with pads forced to 1 (rw:344-345)
+    position_ids = jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1
+    position_ids = jnp.where(attention_mask == 0, 1, position_ids)
+
+    collect = None if rcfg.layer_id >= cfg.decoder.num_layers else rcfg.layer_id
+    out = phi3v.forward(
+        params["backbone"],
+        cfg,
+        batch.input_ids,
+        attention_mask,
+        position_ids,
+        batch.pixel_values,
+        batch.img_gather_idx,
+        batch.splice_idx,
+        batch.num_img_tokens,
+        collect_layer_id=collect,
+        attn_impl=attn_impl,
+        remat=remat,
+        lora=lora,
+    )
+    hidden = (
+        out.last_hidden_state if collect is None else out.collected_hidden_state
+    )
+
+    if rcfg.add_cross_attention and out.vision_embedding is not None:
+        hidden = skipca.apply(
+            params["head"]["skipca"],
+            hidden,
+            out.vision_embedding,
+            batch.num_img_tokens,
+            rms_eps=cfg.decoder.rms_norm_eps,
+            mode="phi3v",
+            batch_max=skipca_batch_max,
+        )
+
+    if rcfg.mean_hidden_state:
+        pooled = heads.masked_mean_pool(hidden, attention_mask)
+        values = heads.apply_value_head(params["head"]["value_head"], pooled)
+        reward = values
+    else:
+        values = heads.apply_value_head(params["head"]["value_head"], hidden)
+        reward = heads.readout(
+            values, attention_mask, training=training, mean_pooled=False
+        )
+
+    prompt_hidden = None
+    if prompt_end_index is not None:
+        prompt_hidden = jnp.take_along_axis(
+            hidden, prompt_end_index[:, None, None], axis=1
+        )[:, 0, :]
+
+    return RewardOutput(reward=reward, prompt_hidden=prompt_hidden, last_hidden=hidden)
+
+
+def paired_forward(
+    params: dict,
+    cfg: Phi3VConfig,
+    rcfg: RewardConfig,
+    chosen: RewardBatch,
+    rejected: RewardBatch,
+    *,
+    training: bool = True,
+    attn_impl: str = "auto",
+    remat: bool = False,
+    lora: Optional[dict] = None,
+    prompt_end_index: Optional[jnp.ndarray] = None,
+):
+    """Score (chosen, rejected) in one stacked forward. Both batches must be
+    padded to the same static S (the collator guarantees this)."""
+
+    def cat(a, b):
+        if a is None:
+            return None
+        return jnp.concatenate([a, b], axis=0)
+
+    stacked = RewardBatch(*[cat(a, b) for a, b in zip(chosen, rejected)])
+    # The reference runs chosen and rejected as two SEPARATE forwards, so each
+    # half's SkipCA zero-pad width is that half's own max image-token count.
+    skipca_bm = None
+    if rcfg.add_cross_attention and chosen.num_img_tokens is not None:
+        Bc = chosen.input_ids.shape[0]
+        skipca_bm = jnp.concatenate(
+            [
+                jnp.broadcast_to(jnp.max(chosen.num_img_tokens), (Bc,)),
+                jnp.broadcast_to(jnp.max(rejected.num_img_tokens), (Bc,)),
+            ]
+        )
+    out = reward_forward(
+        params,
+        cfg,
+        rcfg,
+        stacked,
+        training=training,
+        attn_impl=attn_impl,
+        remat=remat,
+        lora=lora,
+        prompt_end_index=(
+            cat(prompt_end_index, prompt_end_index)
+            if prompt_end_index is not None
+            else None
+        ),
+        skipca_batch_max=skipca_bm,
+    )
+    B = chosen.input_ids.shape[0]
+    chosen_reward, reject_reward = out.reward[:B], out.reward[B:]
+    prompt_hidden = out.prompt_hidden[:B] if out.prompt_hidden is not None else None
+    return chosen_reward, reject_reward, prompt_hidden
