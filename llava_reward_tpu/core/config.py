@@ -216,12 +216,14 @@ def phi3v_tiny_config(
             pad_token_id=vocab_size - 1,
             eos_token_id=vocab_size - 1,
         ),
+        # image_size/patch_size stay at 336/14: the HD pipeline's crop size,
+        # merge grid (24->12) and num_img_tokens formula are structural.
         vision=VisionConfig(
             hidden_size=vision_hidden,
             intermediate_size=vision_hidden * 4,
             num_layers=vision_layers,
             num_heads=4,
-            image_size=56,
+            image_size=336,
             patch_size=14,
         ),
         num_crops=num_crops,

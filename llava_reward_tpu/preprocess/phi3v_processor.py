@@ -130,7 +130,8 @@ def build_img_gather_idx(
 
     idx = np.concatenate([rows, np.array([glb_gn], dtype=np.int64), glb_rows])
     n = idx.shape[0]
-    assert n == num_img_tokens_for(h_crop * 336, w_crop * 336), (n, h_crop, w_crop)
+    if G == 12:  # the formula at :269 is specific to the 24->12 merge grid
+        assert n == num_img_tokens_for(h_crop * 336, w_crop * 336), (n, h_crop, w_crop)
     if n > budget:
         raise ValueError(f"image token count {n} exceeds budget {budget}")
     out = np.full((budget,), sub_gn, dtype=np.int32)  # pad value is masked out
