@@ -1,0 +1,176 @@
+"""The pjit-compiled training step.
+
+Reference hot loop (rm_trainer_general_preference.py:142-227): two forwards
+(chosen, rejected) -> loss -> DeepSpeed backward/step. TPU-native redesign:
+- ONE stacked forward for the pair (reward/model.py:paired_forward);
+- differentiation wrt the TRAINABLE tree only (LoRA + heads [+ projector]),
+  so the frozen 4B backbone never has grads or optimizer state — the
+  ZeRO-3-for-mostly-frozen-models trade-off from SURVEY.md §7;
+- grad accumulation via optax.MultiSteps (configured in optim.py);
+- bf16 activations, fp32 loss when --compute_fp32_loss.
+
+Loss selection mirrors the trainer's tree (rm_trainer…py:70-93):
+  GPM dim-2 -> general_preference_loss; GPM dim-1 -> cls_loss;
+  GPM high-dim + prompt_head -> MoE loss; GPM high-dim -> fixed-R loss;
+  cls_based -> binary_cls_loss; else -> Bradley-Terry pairwise_loss.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Any, Callable, NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+
+from ..core.config import Phi3VConfig, RewardConfig
+from ..reward import losses
+from ..reward.heads import eos_index_from_mask, prompt_skew_block_matrices
+from ..reward.model import RewardBatch, paired_forward, reward_forward
+
+
+class TrainState(NamedTuple):
+    step: jnp.ndarray
+    trainable: Any  # {'head': ..., 'lora': ...|None, 'projector': ...|None}
+    opt_state: Any
+
+
+def select_loss_name(rcfg: RewardConfig, cls_based: bool) -> str:
+    if rcfg.is_general_preference:
+        if rcfg.value_head_dim == 2 and not rcfg.add_prompt_head:
+            return "gpm"
+        if rcfg.value_head_dim == 1:
+            return "cls"
+        assert rcfg.value_head_dim % 2 == 0, "GPM value head dim must be even"
+        if rcfg.add_prompt_head:
+            return "moe"
+        return "high_dim_gpm"
+    if cls_based:
+        return "binary_cls"
+    return "bt"
+
+
+def assemble_params(frozen: dict, trainable: dict) -> Tuple[dict, Optional[dict]]:
+    """Merge the trainable leaves back into a full forward tree."""
+    backbone = frozen["backbone"]
+    if trainable.get("projector") is not None:
+        backbone = dict(backbone)
+        backbone["vision"] = dict(backbone["vision"])
+        backbone["vision"]["img_projection"] = trainable["projector"]
+    params = {"backbone": backbone, "head": trainable["head"]}
+    return params, trainable.get("lora")
+
+
+def make_pairwise_loss_fn(
+    cfg: Phi3VConfig,
+    rcfg: RewardConfig,
+    *,
+    cls_based: bool = False,
+    compute_fp32_loss: bool = False,
+    attn_impl: str = "auto",
+    remat: bool = True,
+) -> Callable:
+    loss_name = select_loss_name(rcfg, cls_based)
+    tau = rcfg.general_preference_tau
+
+    def loss_fn(
+        trainable: dict,
+        frozen: dict,
+        chosen: RewardBatch,
+        rejected: RewardBatch,
+        margin: Optional[jnp.ndarray] = None,
+    ):
+        params, lora = assemble_params(frozen, trainable)
+        prompt_end = None
+        if loss_name == "moe":
+            # prompt-conditioned R gathers the hidden state at the prompt's
+            # last token; the reference's index arithmetic is broken
+            # (unbound chosen_response_len, rm_trainer…py:170) — we use the
+            # EOS position, which for reward inputs IS the prompt end.
+            prompt_end = eos_index_from_mask(chosen.attention_mask)
+        c_r, r_r, prompt_hidden = paired_forward(
+            params, cfg, rcfg, chosen, rejected,
+            training=True, attn_impl=attn_impl, remat=remat, lora=lora,
+            prompt_end_index=prompt_end,
+        )
+        if compute_fp32_loss:
+            c_r = c_r.astype(jnp.float32)
+            r_r = r_r.astype(jnp.float32)
+
+        if loss_name == "gpm":
+            loss, prob = losses.general_preference_loss(c_r, r_r, margin, tau=tau)
+        elif loss_name == "cls":
+            loss, prob = losses.cls_loss(c_r, r_r, margin)
+        elif loss_name == "high_dim_gpm":
+            loss, prob = losses.high_dim_general_preference_loss(
+                c_r, r_r, margin, tau=tau, value_head_dim=rcfg.value_head_dim
+            )
+        elif loss_name == "moe":
+            R = prompt_skew_block_matrices(
+                trainable["head"]["prompt_head"],
+                prompt_hidden.astype(jnp.float32),
+                rcfg.value_head_dim,
+            )
+            loss, prob = losses.high_dim_general_preference_moe_loss(
+                c_r, r_r, R, margin, softmax_tau=tau
+            )
+        else:  # bt
+            loss, prob = losses.pairwise_loss(c_r, r_r, margin, tau=tau)
+
+        metrics = {"preference_loss": loss, "prob": prob}
+        return loss, metrics
+
+    return loss_fn
+
+
+def make_cls_loss_fn(
+    cfg: Phi3VConfig,
+    rcfg: RewardConfig,
+    *,
+    compute_fp32_loss: bool = False,
+    attn_impl: str = "auto",
+    remat: bool = True,
+) -> Callable:
+    """Pointwise classification objective (cls_fit, rm_trainer…py:240-345)."""
+
+    def loss_fn(trainable, frozen, batch: RewardBatch, labels: jnp.ndarray):
+        params, lora = assemble_params(frozen, trainable)
+        out = reward_forward(
+            params, cfg, rcfg, batch,
+            training=True, attn_impl=attn_impl, remat=remat, lora=lora,
+        )
+        r = out.reward[..., 0]
+        if compute_fp32_loss:
+            r = r.astype(jnp.float32)
+        loss, prob = losses.binary_cls_loss(r, labels)
+        return loss, {"preference_loss": loss, "prob": prob}
+
+    return loss_fn
+
+
+def make_train_step(loss_fn: Callable, tx: optax.GradientTransformation):
+    """Returns train_step(state, frozen, *loss_args) -> (state, metrics).
+
+    jit/pjit this with the mesh shardings from parallel/sharding.py; XLA
+    emits the reduce-scatter/all-gather that ZeRO does by hand.
+    """
+
+    def train_step(state: TrainState, frozen: dict, *loss_args):
+        (loss, metrics), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.trainable, frozen, *loss_args
+        )
+        updates, new_opt_state = tx.update(grads, state.opt_state, state.trainable)
+        new_trainable = optax.apply_updates(state.trainable, updates)
+        metrics = dict(metrics)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        return (
+            TrainState(state.step + 1, new_trainable, new_opt_state),
+            metrics,
+        )
+
+    return train_step
+
+
+def init_train_state(trainable: dict, tx: optax.GradientTransformation) -> TrainState:
+    return TrainState(jnp.zeros((), jnp.int32), trainable, tx.init(trainable))
