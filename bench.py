@@ -1,0 +1,122 @@
+"""Reward-forward throughput benchmark (the reference's only perf
+instrumentation is wall-clock around custom_forward,
+eval/batch_inference_rm_phi.py:92-102 — this is its TPU equivalent).
+
+Measures image-text PAIRS/sec/chip for the full-size Phi-3.5-V reward
+forward (4.2B decoder + CLIP ViT-L/14-336 on 17 crops, bf16, GPM dim-2 +
+SkipCA, seq 2560 covering the 4x4-crop 2509-token image budget).
+
+vs_baseline is computed against BASELINE_PAIRS_PER_SEC: an estimate of the
+reference PyTorch stack's per-chip throughput (eager HF + flash-attn, bf16,
+batch~4) derived from its per-pair compute (~55 TFLOP: 2*4.2e9*2560*2 seqs
++ CLIP 2*0.3e9*577*17*2) at ~35% utilisation of an A100's 312 TFLOP/s
+≈ 2.0 pairs/sec. Replace with a measured number when a GPU baseline run is
+available (BASELINE.md records none — the repo publishes no benchmarks).
+
+Env knobs: BENCH_BATCH (pairs, default 4), BENCH_STEPS (default 8),
+BENCH_SEQ (default 2560), BENCH_TINY=1 for a smoke run on CPU.
+"""
+
+import json
+import os
+import time
+
+import numpy as np
+
+BASELINE_PAIRS_PER_SEC = 2.0
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from llava_reward_tpu.core.config import (
+        RewardConfig,
+        phi35_vision_config,
+        phi3v_tiny_config,
+        replace,
+    )
+    from llava_reward_tpu.models import phi3v
+    from llava_reward_tpu.preprocess.phi3v_processor import build_img_gather_idx
+    from llava_reward_tpu.reward import init_head_params
+    from llava_reward_tpu.reward.model import RewardBatch, reward_forward
+
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    pairs = int(os.environ.get("BENCH_BATCH", "2" if tiny else "4"))
+    steps = int(os.environ.get("BENCH_STEPS", "2" if tiny else "8"))
+    seq = int(os.environ.get("BENCH_SEQ", "128" if tiny else "2560"))
+
+    if tiny:
+        cfg = phi3v_tiny_config(num_crops=4)
+    else:
+        cfg = phi35_vision_config()
+    rcfg = RewardConfig(
+        is_general_preference=True,
+        value_head_dim=2,
+        add_cross_attention=True,
+        layer_id=cfg.decoder.num_layers,
+    )
+
+    key = jax.random.PRNGKey(0)
+    params = {
+        "backbone": phi3v.init_params(key, cfg, dtype=jnp.bfloat16),
+        "head": init_head_params(jax.random.PRNGKey(1), cfg, rcfg, dtype=jnp.bfloat16),
+    }
+
+    # 4x4-crop image geometry (the dominant real case): 2509 image tokens
+    rng = np.random.default_rng(0)
+    B = pairs * 2  # chosen + rejected per pair
+    nc = cfg.num_crops
+    hc = wc = min(4, int(np.sqrt(nc)))
+    n_img = (hc * wc + 1) * 144 + 1 + (hc + 1) * 12
+    budget = min(n_img, seq - 16)
+    if n_img > budget:
+        hc = wc = 1
+        n_img = 2 * 144 + 1 + 2 * 12
+        budget = max(budget, n_img)
+    gidx = build_img_gather_idx(hc, wc, nc, budget)
+
+    ids = rng.integers(2, cfg.decoder.vocab_size - 2, (B, seq)).astype(np.int32)
+    splice = np.full((B, seq), -1, np.int32)
+    splice[:, 1 : 1 + n_img] = np.arange(n_img)
+    crop = cfg.vision.image_size
+    batch = RewardBatch(
+        input_ids=jnp.asarray(ids),
+        attention_mask=jnp.asarray(np.ones((B, seq), np.int32)),
+        pixel_values=jnp.asarray(
+            (rng.standard_normal((B, nc + 1, crop, crop, 3)) * 0.5).astype(np.float32)
+        ),
+        img_gather_idx=jnp.asarray(np.tile(gidx[None], (B, 1))),
+        splice_idx=jnp.asarray(splice),
+        num_img_tokens=jnp.full((B,), n_img, np.int32),
+    )
+
+    @jax.jit
+    def fwd(p, b):
+        return reward_forward(p, cfg, rcfg, b, training=False).reward
+
+    # warmup / compile
+    fwd(params, batch).block_until_ready()
+    t0 = time.perf_counter()
+    for _ in range(steps):
+        out = fwd(params, batch)
+    out.block_until_ready()
+    dt = time.perf_counter() - t0
+
+    pairs_per_sec = pairs * steps / dt
+    n_chips = 1  # bench runs single-chip
+    value = pairs_per_sec / n_chips
+    print(
+        json.dumps(
+            {
+                "metric": "phi35v_reward_forward_pairs_per_sec_per_chip",
+                "value": round(value, 4),
+                "unit": "pairs/s/chip",
+                "vs_baseline": round(value / BASELINE_PAIRS_PER_SEC, 4),
+            }
+        )
+    )
+
+
+if __name__ == "__main__":
+    main()

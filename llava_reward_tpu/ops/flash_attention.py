@@ -1,0 +1,228 @@
+"""Pallas TPU flash attention (forward), replacing flash-attn 2
+(modeling_phi3_v.py:723-1032, CLIPAttentionFA2 :85-115).
+
+Design for this workload (reward scoring, seq <= ~3k):
+- grid (batch, kv_head, q_blocks); each program loads one q block and the
+  FULL K/V rows for its (batch, kv-head) into VMEM (2.5k x 128 bf16 =
+  0.65 MB each) and computes scores for all GQA query heads of that kv head
+  in one (n_rep*Bq, S) MXU matmul — no online-softmax bookkeeping, a single
+  fp32 softmax over the whole row, everything stays in VMEM (~5 MB total);
+- masking is done in-kernel from scalars instead of the reference's
+  unpad/pad dance (bert_padding): causal via position iota, LEFT padding via
+  a per-batch ``kv_start`` scalar (valid keys are a contiguous suffix after
+  the collator's left padding), sliding window via q_pos - window;
+- head_dim is zero-padded to a lane multiple (96 -> 128 for Phi-3) in the
+  wrapper: zero K columns contribute 0 to scores and zero V columns produce
+  sliced-off zeros, so results are exact;
+- backward: custom VJP that recomputes with the XLA reference path (training
+  runs under remat anyway); a fused backward kernel is a later optimisation.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .attention import attention_reference
+
+NEG_INF = -1e30
+
+
+def _fa_kernel(
+    kv_start_ref,  # SMEM (B,) first valid key index per batch row
+    q_ref,  # (1, 1, Bq, D)
+    k_ref,  # (1, 1, S, D)
+    v_ref,  # (1, 1, S, D)
+    o_ref,  # (1, 1, Bq, D)
+    *,
+    scale: float,
+    causal: bool,
+    sliding_window: Optional[int],
+    q_len: int,
+    block_q: int,
+):
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+
+    q = q_ref[0, 0]  # (Bq, D)
+    k = k_ref[0, 0]  # (S, D)
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (Bq, S)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+    q_pos = qi * block_q + row
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+
+    mask = k_pos < q_len  # right-pad tail from block rounding
+    start = kv_start_ref[b]
+    mask &= k_pos >= start
+    if causal:
+        mask &= k_pos <= q_pos
+        if sliding_window is not None:
+            mask &= k_pos > q_pos - sliding_window
+    scores = jnp.where(mask, scores, NEG_INF)
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    denom = jnp.sum(e, axis=-1, keepdims=True)
+    probs = (e / denom).astype(q.dtype)
+
+    o_ref[0, 0] = jax.lax.dot_general(
+        probs, v_ref[0, 0], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(o_ref.dtype)
+
+
+def _round_up(x, m):
+    return (x + m - 1) // m * m
+
+
+def _flash_fwd(
+    q: jnp.ndarray,  # (B, S, H, D)
+    k: jnp.ndarray,  # (B, S, Hk, D)
+    v: jnp.ndarray,
+    kv_start: jnp.ndarray,  # (B,) int32
+    causal: bool,
+    sliding_window: Optional[int],
+    scale: float,
+    block_q: int = 256,
+) -> jnp.ndarray:
+    B, S, H, D = q.shape
+    assert k.shape[2] == H, "GQA expanded in the wrapper"
+
+    D_pad = _round_up(D, 128)
+    S_pad = _round_up(S, block_q)
+    if D_pad != D:
+        pad = [(0, 0), (0, 0), (0, 0), (0, D_pad - D)]
+        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+    if S_pad != S:
+        pad = [(0, 0), (0, S_pad - S), (0, 0), (0, 0)]
+        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+
+    qt = q.transpose(0, 2, 1, 3)  # (B, H, S_pad, D)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+
+    nq = S_pad // block_q
+    grid = (B, H, nq)
+
+    kernel = functools.partial(
+        _fa_kernel,
+        scale=scale,
+        causal=causal,
+        sliding_window=sliding_window,
+        q_len=S,
+        block_q=block_q,
+    )
+
+    interpret = jax.devices()[0].platform != "tpu"  # CPU tests run interpreted
+    out = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=[
+                pl.BlockSpec(
+                    (1, 1, block_q, D_pad),
+                    lambda b, h, qi, *prefetch: (b, h, qi, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, S_pad, D_pad),
+                    lambda b, h, qi, *prefetch: (b, h, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+                pl.BlockSpec(
+                    (1, 1, S_pad, D_pad),
+                    lambda b, h, qi, *prefetch: (b, h, 0, 0),
+                    memory_space=pltpu.VMEM,
+                ),
+            ],
+            out_specs=pl.BlockSpec(
+                (1, 1, block_q, D_pad),
+                lambda b, h, qi, *prefetch: (b, h, qi, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, H, S_pad, D_pad), q.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=4 * B * H * S_pad * S_pad * D_pad,
+            bytes_accessed=(qt.size + kt.size + vt.size) * qt.dtype.itemsize,
+            transcendentals=B * H * S_pad * S_pad,
+        ),
+    )(kv_start.astype(jnp.int32), qt, kt, vt)
+
+    # back to (B, S, H, D)
+    out = out.transpose(0, 2, 1, 3)
+    return out[:, :S, :, :D]
+
+
+@functools.partial(
+    jax.custom_vjp, nondiff_argnums=(4, 5, 6)
+)
+def _flash_attention_core(q, k, v, kv_start, causal, sliding_window, scale):
+    return _flash_fwd(q, k, v, kv_start, causal, sliding_window, scale)
+
+
+def _core_fwd(q, k, v, kv_start, causal, sliding_window, scale):
+    out = _flash_fwd(q, k, v, kv_start, causal, sliding_window, scale)
+    return out, (q, k, v, kv_start)
+
+
+def _core_bwd(causal, sliding_window, scale, res, g):
+    q, k, v, kv_start = res
+    S = k.shape[1]
+    mask = (jnp.arange(S)[None, :] >= kv_start[:, None]).astype(jnp.int32)
+
+    def ref(q, k, v):
+        return attention_reference(
+            q, k, v, causal=causal, key_padding_mask=mask,
+            sliding_window=sliding_window, scale=scale,
+        )
+
+    _, vjp = jax.vjp(ref, q, k, v)
+    dq, dk, dv = vjp(g)
+    return dq, dk, dv, None
+
+
+_flash_attention_core.defvjp(_core_fwd, _core_bwd)
+
+
+def flash_attention(
+    q: jnp.ndarray,
+    k: jnp.ndarray,
+    v: jnp.ndarray,
+    *,
+    causal: bool = False,
+    key_padding_mask: Optional[jnp.ndarray] = None,  # (B, S) 1=valid, left-pad
+    sliding_window: Optional[int] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """Drop-in for ops.attention.mha's kernel path. The padding mask must be
+    a left-pad mask (valid keys form a suffix) — guaranteed by the collator
+    (preprocess/collate.py)."""
+    B, S, H, D = q.shape
+    if scale is None:
+        scale = 1.0 / (D ** 0.5)
+    if key_padding_mask is None:
+        kv_start = jnp.zeros((B,), jnp.int32)
+    else:
+        kv_start = jnp.sum(
+            1 - key_padding_mask.astype(jnp.int32), axis=-1
+        )  # number of left pads == first valid index
+    if sliding_window is not None and sliding_window >= S:
+        sliding_window = None
+    n_rep = H // k.shape[2]
+    if n_rep > 1:
+        # GQA: expand kv heads for now; a shared-KV grid (one K/V load per
+        # kv head serving all reps) lands with the Qwen backbone work
+        k = jnp.repeat(k, n_rep, axis=2)
+        v = jnp.repeat(v, n_rep, axis=2)
+    return _flash_attention_core(q, k, v, kv_start, causal, sliding_window, scale)

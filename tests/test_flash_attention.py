@@ -1,0 +1,101 @@
+"""Pallas flash kernel vs the XLA reference (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llava_reward_tpu.ops.attention import attention_reference
+from llava_reward_tpu.ops.flash_attention import flash_attention
+
+
+def _rand(rng, *shape):
+    return rng.standard_normal(shape).astype(np.float32)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_matches_reference(rng, causal):
+    B, S, H, D = 2, 300, 2, 96  # odd S (block rounding) and D=96 (pad to 128)
+    q, k, v = (_rand(rng, B, S, H, D) for _ in range(3))
+    mask = np.ones((B, S), np.int32)
+    mask[0, :37] = 0  # left padding
+
+    out = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        causal=causal, key_padding_mask=jnp.asarray(mask),
+    )
+    ref = attention_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        causal=causal, key_padding_mask=jnp.asarray(mask),
+    )
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(out)[valid], np.asarray(ref)[valid], rtol=2e-4, atol=2e-4
+    )
+
+
+def test_flash_sliding_window(rng):
+    B, S, H, D = 1, 128, 2, 64
+    q, k, v = (_rand(rng, B, S, H, D) for _ in range(3))
+    out = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=True, sliding_window=17
+    )
+    ref = attention_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=True, sliding_window=17
+    )
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_flash_gqa(rng):
+    B, S, H, Hk, D = 1, 64, 4, 2, 32
+    q = _rand(rng, B, S, H, D)
+    k = _rand(rng, B, S, Hk, D)
+    v = _rand(rng, B, S, Hk, D)
+    out = flash_attention(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=True)
+    ref = attention_reference(jnp.asarray(q), jnp.asarray(k), jnp.asarray(v), causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), rtol=2e-4, atol=2e-4)
+
+
+def test_flash_backward_matches_reference(rng):
+    B, S, H, D = 1, 96, 2, 32
+    q, k, v = (_rand(rng, B, S, H, D) for _ in range(3))
+    mask = np.ones((B, S), np.int32)
+    mask[0, :10] = 0
+
+    # only valid positions feed the loss (pad rows are garbage in every
+    # implementation and masked out of the readout in the real model)
+    w = jnp.asarray(mask.astype(np.float32))[:, :, None, None]
+
+    def loss_flash(q, k, v):
+        out = flash_attention(q, k, v, causal=True, key_padding_mask=jnp.asarray(mask))
+        return jnp.sum((out * w) ** 2)
+
+    def loss_ref(q, k, v):
+        out = attention_reference(
+            q, k, v, causal=True, key_padding_mask=jnp.asarray(mask)
+        )
+        return jnp.sum((out * w) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    )
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    )
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
+
+
+def test_flash_bf16(rng):
+    B, S, H, D = 1, 256, 2, 96
+    q, k, v = (
+        jnp.asarray(_rand(rng, B, S, H, D), dtype=jnp.bfloat16) for _ in range(3)
+    )
+    out = flash_attention(q, k, v, causal=True)
+    ref = attention_reference(q, k, v, causal=True)
+    np.testing.assert_allclose(
+        np.asarray(out, dtype=np.float32),
+        np.asarray(ref, dtype=np.float32),
+        rtol=2e-2, atol=2e-2,
+    )
