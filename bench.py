@@ -44,7 +44,7 @@ def main():
     tiny = os.environ.get("BENCH_TINY") == "1"
     pairs = int(os.environ.get("BENCH_BATCH", "2" if tiny else "4"))
     steps = int(os.environ.get("BENCH_STEPS", "2" if tiny else "8"))
-    seq = int(os.environ.get("BENCH_SEQ", "128" if tiny else "2560"))
+    seq = int(os.environ.get("BENCH_SEQ", "384" if tiny else "2560"))
 
     if tiny:
         cfg = phi3v_tiny_config(num_crops=4)
@@ -69,12 +69,11 @@ def main():
     nc = cfg.num_crops
     hc = wc = min(4, int(np.sqrt(nc)))
     n_img = (hc * wc + 1) * 144 + 1 + (hc + 1) * 12
-    budget = min(n_img, seq - 16)
-    if n_img > budget:
+    if n_img > seq - 16:  # fall back to a 1x1 geometry on small seq budgets
         hc = wc = 1
         n_img = 2 * 144 + 1 + 2 * 12
-        budget = max(budget, n_img)
-    gidx = build_img_gather_idx(hc, wc, nc, budget)
+    assert n_img <= seq - 16, (n_img, seq)
+    gidx = build_img_gather_idx(hc, wc, nc, budget=n_img)
 
     ids = rng.integers(2, cfg.decoder.vocab_size - 2, (B, seq)).astype(np.int32)
     splice = np.full((B, seq), -1, np.int32)
@@ -95,15 +94,17 @@ def main():
     def fwd(p, b):
         return reward_forward(p, cfg, rcfg, b, training=False).reward
 
-    # warmup / compile
+    # warmup / compile (plus one extra: the first post-compile dispatch can
+    # return the warmup result without executing on some backends)
     fwd(params, batch).block_until_ready()
-    t0 = time.perf_counter()
+    fwd(params, batch).block_until_ready()
+    times = []
     for _ in range(steps):
-        out = fwd(params, batch)
-    out.block_until_ready()
-    dt = time.perf_counter() - t0
+        t0 = time.perf_counter()
+        fwd(params, batch).block_until_ready()
+        times.append(time.perf_counter() - t0)
 
-    pairs_per_sec = pairs * steps / dt
+    pairs_per_sec = pairs / float(np.median(times))
     n_chips = 1  # bench runs single-chip
     value = pairs_per_sec / n_chips
     print(

@@ -154,7 +154,7 @@ def phi35_vision_config() -> Phi3VConfig:
         6.0199999999999156, 6.0699999999999149, 6.0699999999999149, 6.0999999999999143,
         6.1099999999999136, 6.1599999999999126, 6.1699999999999124, 6.1899999999999119,
         6.2099999999999113, 6.2299999999999107, 6.2399999999999104, 6.2499999999999102,
-        6.2599999999999096, 6.2699999999999096, 6.2799999999999087, 6.2899999999999088,
+        6.2599999999999096, 6.2699999999999096, 6.2799999999999087,
     )
     long_factor = (
         1.0800000429153442, 1.1100000143051147, 1.1399999856948853, 1.340000033378601,
