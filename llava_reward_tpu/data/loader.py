@@ -1,0 +1,97 @@
+"""Prefetching data loader: thread-pool image preprocessing overlapped with
+device compute, double-buffered host->HBM transfer.
+
+Replaces the torch DataLoader worker setup (deepspeed.py:137-180) — the
+CPU preprocessing bottleneck called out in SURVEY.md §3.4. Workers run the
+PIL decode + HD geometry; the main thread collates into pinned numpy
+buffers and enqueues ``jax.device_put`` so step N+1's batch is already on
+the device while step N computes.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from concurrent.futures import ThreadPoolExecutor
+from typing import Any, Callable, Iterable, Iterator, Optional
+
+import numpy as np
+
+
+class PrefetchLoader:
+    def __init__(
+        self,
+        dataset,
+        sampler: Iterable[int],
+        batch_size: int,
+        collate_fn: Callable,  # (items) -> host batch pytree
+        num_workers: int = 8,
+        prefetch_batches: int = 2,
+        device_put: Optional[Callable] = None,  # host batch -> device batch
+        drop_last: bool = True,
+    ):
+        self.dataset = dataset
+        self.sampler = sampler
+        self.batch_size = batch_size
+        self.collate_fn = collate_fn
+        self.num_workers = num_workers
+        self.prefetch_batches = prefetch_batches
+        self.device_put = device_put
+        self.drop_last = drop_last
+
+    def __len__(self):
+        n = len(self.sampler)  # type: ignore[arg-type]
+        return n // self.batch_size if self.drop_last else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Any]:
+        indices = list(self.sampler)
+        batches = [
+            indices[i : i + self.batch_size]
+            for i in range(0, len(indices), self.batch_size)
+        ]
+        if self.drop_last:
+            batches = [b for b in batches if len(b) == self.batch_size]
+
+        out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
+        stop = threading.Event()
+
+        def produce():
+            try:
+                with ThreadPoolExecutor(self.num_workers) as pool:
+                    # pipeline: submit item futures a batch ahead
+                    futures = [
+                        [pool.submit(self.dataset.__getitem__, i) for i in b]
+                        for b in batches[: self.prefetch_batches + 1]
+                    ]
+                    next_batch = self.prefetch_batches + 1
+                    for bi in range(len(batches)):
+                        if stop.is_set():
+                            return
+                        items = [f.result() for f in futures[bi]]
+                        if next_batch < len(batches):
+                            futures.append(
+                                [
+                                    pool.submit(self.dataset.__getitem__, i)
+                                    for i in batches[next_batch]
+                                ]
+                            )
+                            next_batch += 1
+                        host = self.collate_fn(items)
+                        dev = self.device_put(host) if self.device_put else host
+                        out_q.put(("item", dev))
+                out_q.put(("done", None))
+            except BaseException as e:  # propagate worker errors
+                out_q.put(("error", e))
+
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
+        try:
+            while True:
+                kind, val = out_q.get()
+                if kind == "done":
+                    return
+                if kind == "error":
+                    raise val
+                yield val
+        finally:
+            stop.set()

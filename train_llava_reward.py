@@ -1,0 +1,224 @@
+"""Train entry point — flag-compatible with the reference CLI
+(train_llava_reward.py:12-227), TPU-native underneath:
+
+  python train_llava_reward.py --pretrain <hf_dir> --dataset <json> \
+      --is_general_preference --value_head_dim 2 --add_cross_attention \
+      --lora_rank 128 --lora_alpha 256 --bf16 --gradient_checkpointing ...
+
+Orchestration (reference train(): strategy -> model -> tokenizer ->
+optimizer -> data -> scheduler -> trainer.fit):
+  mesh init -> load/convert backbone -> processor -> optax tx ->
+  blended datasets -> prefetch loader -> RewardTrainer.fit.
+"""
+
+from __future__ import annotations
+
+import os
+
+import numpy as np
+
+
+def train(args):
+    import jax
+    import jax.numpy as jnp
+
+    from llava_reward_tpu.core.args import build_train_parser
+    from llava_reward_tpu.core.config import RewardConfig, phi3v_tiny_config
+    from llava_reward_tpu.core.logging import init_logger
+    from llava_reward_tpu.data.datasets import (
+        PairwiseRewardDataset,
+        PointwiseRewardDataset,
+        blending_datasets,
+        is_pairwise,
+    )
+    from llava_reward_tpu.data.loader import PrefetchLoader
+    from llava_reward_tpu.data.sampler import GroupSampler
+    from llava_reward_tpu.evalx.adaptor import phi3v_config_from_pretrain
+    from llava_reward_tpu.io.hf_phi3v import params_from_hf_state_dict
+    from llava_reward_tpu.io.torch_io import load_torch_state_dict
+    from llava_reward_tpu.lora.lora import init_lora
+    from llava_reward_tpu.models import phi3v
+    from llava_reward_tpu.parallel.sharding import (
+        create_mesh,
+        shard_batch,
+        shard_params,
+    )
+    from llava_reward_tpu.preprocess.phi3v_processor import Phi3VProcessor
+    from llava_reward_tpu.reward import init_head_params
+    from llava_reward_tpu.train.optim import make_optimizer
+    from llava_reward_tpu.train.train_step import make_cls_loss_fn, make_pairwise_loss_fn
+    from llava_reward_tpu.train.trainer import RewardTrainer
+
+    logger = init_logger(__name__)
+    if args.model_type != "phi3v":
+        raise NotImplementedError("qwen/llava training lands with their backbones")
+
+    # ---- mesh (the ZeRO replacement, SURVEY.md §2c)
+    mesh = create_mesh(dp=args.mesh_dp, fsdp=args.mesh_fsdp, tp=args.mesh_tp)
+    n_data = mesh.shape["dp"] * mesh.shape["fsdp"]
+    logger.info("mesh %s (%d devices)", dict(mesh.shape), len(jax.devices()))
+
+    rcfg = RewardConfig(
+        is_general_preference=args.is_general_preference,
+        add_cross_attention=args.add_cross_attention,
+        value_head_dim=args.value_head_dim,
+        general_preference_tau=args.general_preference_tau,
+        add_prompt_head=args.add_prompt_head,
+        mean_hidden_state=args.mean_hidden_state,
+        layer_id=args.layer_id,
+    )
+
+    # ---- model
+    param_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
+    if args.pretrain and os.path.isdir(args.pretrain):
+        cfg = phi3v_config_from_pretrain(args.pretrain)
+        sd = load_torch_state_dict(args.pretrain)
+        backbone = params_from_hf_state_dict(sd, cfg, dtype=np.float32)
+        backbone = jax.tree_util.tree_map(
+            lambda x: jnp.asarray(x, dtype=param_dtype), backbone
+        )
+        from transformers import AutoTokenizer
+
+        tokenizer = AutoTokenizer.from_pretrained(
+            args.pretrain, use_fast=not args.disable_fast_tokenizer,
+            trust_remote_code=True, cache_dir=args.cache_dir,
+        )
+        tokenizer.padding_side = "left"   # (utils/utils.py:27)
+        tokenizer.truncation_side = "right"
+    else:
+        logger.warning("no --pretrain dir; using tiny random config (smoke mode)")
+        cfg = phi3v_tiny_config(num_crops=4)
+        rcfg.layer_id = cfg.decoder.num_layers
+        backbone = phi3v.init_params(jax.random.PRNGKey(args.seed), cfg, param_dtype)
+
+        class _Tok:
+            eos_token = "</s>"
+            pad_token_id = cfg.decoder.pad_token_id
+
+            def __call__(self, text):
+                return {"input_ids": [hash(t) % 500 + 3 for t in text.split()]}
+
+            def apply_chat_template(self, msgs, tokenize=False, add_generation_prompt=True):
+                return "".join(m["content"] for m in msgs) + " " + "x" * 22
+
+        tokenizer = _Tok()
+
+    processor = Phi3VProcessor(tokenizer, num_crops=cfg.num_crops)
+    frozen = {"backbone": backbone}
+    trainable = {
+        "head": init_head_params(jax.random.PRNGKey(1), cfg, rcfg, dtype=jnp.float32),
+        "lora": (
+            init_lora(
+                jax.random.PRNGKey(2), cfg.decoder, args.lora_rank, args.lora_alpha
+            )
+            if args.lora_rank > 0
+            else None
+        ),
+        "projector": (
+            jax.tree_util.tree_map(
+                lambda x: x.astype(jnp.float32),
+                backbone["vision"]["img_projection"],
+            )
+            if args.ft_projector
+            else None
+        ),
+    }
+
+    # ---- data
+    train_rows, eval_rows = blending_datasets(
+        args.dataset, args.dataset_probs, seed=args.seed, max_count=args.max_samples
+    )
+    pairwise = is_pairwise(train_rows)
+    cls_based = args.cls_based or not pairwise
+    ds_cls = PointwiseRewardDataset if cls_based else PairwiseRewardDataset
+    train_ds = ds_cls(train_rows, processor, tokenizer, args.image_root)
+    eval_ds = ds_cls(eval_rows, processor, tokenizer, args.image_root) if eval_rows else None
+
+    batch_size = args.micro_train_batch_size * n_data
+    sampler = GroupSampler(
+        len(train_ds), num_replicas=1, rank=0, shuffle=True, seed=args.seed,
+        group_size=args.group_size,
+    )
+    pad_id = cfg.decoder.pad_token_id
+    train_loader = PrefetchLoader(
+        train_ds, sampler, batch_size,
+        collate_fn=lambda items: train_ds.collate(items, args.seq_len, pad_id),
+        num_workers=args.num_workers,
+    )
+    train_loader.sampler = sampler
+    eval_loader = None
+    if eval_ds is not None and not cls_based:
+        eval_loader = PrefetchLoader(
+            eval_ds,
+            GroupSampler(len(eval_ds), shuffle=False),
+            batch_size,
+            collate_fn=lambda items: eval_ds.collate(items, args.seq_len, pad_id),
+            num_workers=args.num_workers,
+            drop_last=False,
+        )
+
+    # ---- optimizer / loss
+    steps_per_epoch = max(1, len(train_loader))
+    total_steps = steps_per_epoch * args.max_epochs // max(1, args.accumulated_gradient)
+    tx = make_optimizer(
+        args.learning_rate, total_steps,
+        weight_decay=args.l2, max_norm=args.max_norm,
+        accumulation_steps=args.accumulated_gradient,
+    )
+    attn_impl = args.attn_impl
+    if args.flash_attn and attn_impl == "auto":
+        attn_impl = "auto"  # pallas is already the TPU default
+    if cls_based:
+        loss_fn = make_cls_loss_fn(
+            cfg, rcfg, compute_fp32_loss=args.compute_fp32_loss,
+            attn_impl=attn_impl, remat=args.gradient_checkpointing,
+        )
+    else:
+        loss_fn = make_pairwise_loss_fn(
+            cfg, rcfg, compute_fp32_loss=args.compute_fp32_loss,
+            attn_impl=attn_impl, remat=args.gradient_checkpointing,
+        )
+
+    # ---- shard over the mesh
+    with mesh:
+        frozen = shard_params(frozen, mesh)
+        trainable = shard_params(trainable, mesh)
+
+        wandb_logger = None
+        if args.use_wandb:
+            try:
+                import wandb
+
+                wandb.init(
+                    entity=args.wandb_org, project=args.wandb_project,
+                    group=args.wandb_group, name=args.wandb_run_name,
+                    config=vars(args),
+                )
+                wandb_logger = wandb
+            except Exception as e:  # pragma: no cover
+                logger.warning("wandb unavailable: %s", e)
+
+        trainer = RewardTrainer(
+            cfg=cfg, rcfg=rcfg, frozen=frozen, trainable=trainable, tx=tx,
+            loss_fn=loss_fn, train_loader=train_loader, eval_loader=eval_loader,
+            cls_based=cls_based, margin_loss=args.margin_loss,
+            max_epochs=args.max_epochs, save_path=args.save_path,
+            save_steps=args.save_steps, eval_steps=args.eval_steps,
+            logging_steps=args.logging_steps, max_ckpt_num=args.max_ckpt_num,
+            lora_rank=args.lora_rank, lora_alpha=args.lora_alpha,
+            lora_dropout=args.lora_dropout, wandb_logger=wandb_logger,
+            mesh=mesh,
+            shard_batch_fn=lambda b: shard_batch(b, mesh),
+        )
+        if args.load_checkpoint and os.path.isdir(
+            os.path.join(args.ckpt_path, "train_state")
+        ):
+            trainer.load_train_ckpt(args.ckpt_path)
+        trainer.fit()
+        trainer.save_train_ckpt(args.ckpt_path)
+
+
+if __name__ == "__main__":
+    from llava_reward_tpu.core.args import build_train_parser
+
+    train(build_train_parser().parse_args())
