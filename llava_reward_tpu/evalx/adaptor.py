@@ -66,6 +66,31 @@ def decoder_config_from_hf_json(cfg_json: dict) -> DecoderConfig:
     )
 
 
+def _infer_vision_geometry(cfg: Phi3VConfig, sd: dict) -> Phi3VConfig:
+    """The CLIP tower is hard-coded in the reference (modeling_phi3_v.py:68)
+    and absent from config.json; read its true geometry off the weights so
+    tiny/synthetic checkpoints load too."""
+    import dataclasses
+    import re as _re
+
+    prefix = "model.vision_embed_tokens.img_processor.vision_model"
+    layer_ids = {
+        int(m.group(1))
+        for k in sd
+        for m in [_re.match(rf"{_re.escape(prefix)}\.encoder\.layers\.(\d+)\.", k)]
+        if m
+    }
+    if not layer_ids:
+        return cfg
+    n_layers = max(layer_ids) + 1
+    hidden = sd[f"{prefix}.embeddings.class_embedding"].reshape(-1).shape[0]
+    inter = sd[f"{prefix}.encoder.layers.0.mlp.fc1.weight"].shape[0]
+    vision = dataclasses.replace(
+        cfg.vision, num_layers=n_layers, hidden_size=hidden, intermediate_size=inter
+    )
+    return dataclasses.replace(cfg, vision=vision, image_dim_out=hidden)
+
+
 def phi3v_config_from_pretrain(pretrain: str) -> Phi3VConfig:
     cfg_path = os.path.join(pretrain, "config.json")
     if not os.path.exists(cfg_path):
@@ -122,6 +147,7 @@ def load_reward_adaptor(
     cfg = phi3v_config_from_pretrain(pretrain)
 
     sd = load_torch_state_dict(pretrain)
+    cfg = _infer_vision_geometry(cfg, sd)
     backbone = params_from_hf_state_dict(sd, cfg, dtype=dtype)
 
     # LoRA: merge-at-load (reference: load_adapter + enable_adapters,
