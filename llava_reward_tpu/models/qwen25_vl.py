@@ -1,0 +1,380 @@
+"""Qwen2.5-VL backbone, TPU-first.
+
+Reference integration points: the reward model runs the HF
+Qwen2_5_VLForConditionalGeneration forward and re-gathers vision tokens
+with a per-sample Python loop (rw_model_general_preference.py:354-371).
+Architecture semantics follow HF modeling_qwen2_5_vl.py (public), rebuilt
+for XLA:
+
+- vision tower: patch "conv3d" as one matmul; blocks stacked + lax.scan
+  with a per-layer full/window flag; WINDOW attention is a reshape to
+  (B*num_windows, win_patches) + batched dense attention over the host's
+  window-ordered padded layout (preprocess/qwen_vision.py) — replacing the
+  cu_seqlens varlen path; 2D rotary applied in fp32;
+- merger (RMSNorm -> 2x2-unit concat -> GELU MLP) runs in window order,
+  then one static gather restores original merged order — replacing HF's
+  argsort(window_index) and the reference's ragged re-gather loop;
+- decoder: Qwen2 GQA (q/k/v bias), separate gate/up SwiGLU, M-RoPE section
+  interleave via a precomputed channel->axis map, stacked scan like phi3.
+
+Param tree:
+  visual: {patch_embed (pd,H), blocks{norm1,norm2 (L,H),
+           qkv{kernel(L,H,3H),bias}, proj{kernel,bias},
+           mlp{gate|up|down: {kernel,bias}}},
+           merger{ln_q (H,), fc1{kernel(mm*H, mm*H),bias},
+                  fc2{kernel(mm*H, out),bias}}}
+  text:   {embed_tokens (V,H), layers{input_layernorm, q|k|v_proj{kernel,
+           bias}, o_proj, post_attention_layernorm, gate|up|down_proj},
+           final_layernorm}
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..core.config import Qwen25VLConfig, QwenTextConfig, QwenVisionConfig
+from ..ops.activations import gelu, silu
+from ..ops.attention import mha
+from ..ops.norms import rms_norm
+
+
+# ------------------------------------------------------------------ init
+
+def init_vision_params(key: jax.Array, vc: QwenVisionConfig, dtype=jnp.float32) -> dict:
+    ks = jax.random.split(key, 8)
+    H, I, L = vc.hidden_size, vc.intermediate_size, vc.depth
+    mm = vc.spatial_merge_size ** 2
+    std = 0.02
+
+    def dense(k, shape):
+        return (jax.random.normal(k, shape) * std).astype(dtype)
+
+    def lin(k, i, o):
+        return {"kernel": dense(k, (L, i, o)), "bias": jnp.zeros((L, o), dtype)}
+
+    return {
+        "patch_embed": dense(ks[0], (vc.patch_dim, H)),
+        "blocks": {
+            "norm1": jnp.ones((L, H), dtype),
+            "norm2": jnp.ones((L, H), dtype),
+            "qkv": lin(ks[1], H, 3 * H),
+            "proj": lin(ks[2], H, H),
+            "mlp": {
+                "gate": lin(ks[3], H, I),
+                "up": lin(ks[4], H, I),
+                "down": lin(ks[5], I, H),
+            },
+        },
+        "merger": {
+            "ln_q": jnp.ones((H,), dtype),
+            "fc1": {
+                "kernel": dense(ks[6], (mm * H, mm * H)),
+                "bias": jnp.zeros((mm * H,), dtype),
+            },
+            "fc2": {
+                "kernel": dense(ks[7], (mm * H, vc.out_hidden_size)),
+                "bias": jnp.zeros((vc.out_hidden_size,), dtype),
+            },
+        },
+    }
+
+
+def init_text_params(key: jax.Array, tc: QwenTextConfig, dtype=jnp.float32) -> dict:
+    ks = jax.random.split(key, 8)
+    H, I, L, V = tc.hidden_size, tc.intermediate_size, tc.num_layers, tc.vocab_size
+    std = 0.02
+
+    def dense(k, shape):
+        return (jax.random.normal(k, shape) * std).astype(dtype)
+
+    def lin(k, i, o, bias=True):
+        d = {"kernel": dense(k, (L, i, o))}
+        if bias:
+            d["bias"] = jnp.zeros((L, o), dtype)
+        return d
+
+    return {
+        "embed_tokens": dense(ks[0], (V, H)),
+        "layers": {
+            "input_layernorm": jnp.ones((L, H), dtype),
+            "q_proj": lin(ks[1], H, tc.q_size),
+            "k_proj": lin(ks[2], H, tc.kv_size),
+            "v_proj": lin(ks[3], H, tc.kv_size),
+            "o_proj": {"kernel": dense(ks[4], (L, tc.q_size, H))},
+            "post_attention_layernorm": jnp.ones((L, H), dtype),
+            "gate_proj": {"kernel": dense(ks[5], (L, H, I))},
+            "up_proj": {"kernel": dense(ks[6], (L, H, I))},
+            "down_proj": {"kernel": dense(ks[7], (L, I, H))},
+        },
+        "final_layernorm": jnp.ones((H,), dtype),
+    }
+
+
+def init_params(key: jax.Array, cfg: Qwen25VLConfig, dtype=jnp.float32) -> dict:
+    k1, k2 = jax.random.split(key)
+    return {
+        "visual": init_vision_params(k1, cfg.vision, dtype),
+        "text": init_text_params(k2, cfg.text, dtype),
+    }
+
+
+# ------------------------------------------------------------------ vision
+
+def _vision_rope(rot_pos: jnp.ndarray, head_dim: int) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """rot_pos (B, P, 2) -> fp32 cos/sin (B, P, head_dim): per-patch freq
+    vector [h*invf, w*invf] duplicated (Qwen2_5_VisionRotaryEmbedding +
+    rot_pos_emb)."""
+    quarter = head_dim // 4
+    inv_freq = 1.0 / (10000.0 ** (jnp.arange(0, quarter, dtype=jnp.float32) / quarter))
+    pos = rot_pos.astype(jnp.float32)  # (B, P, 2)
+    freqs = pos[..., None] * inv_freq[None, None, None, :]  # (B, P, 2, quarter)
+    half = freqs.reshape(*freqs.shape[:2], -1)  # (B, P, head_dim//2)
+    emb = jnp.concatenate([half, half], axis=-1)
+    return jnp.cos(emb), jnp.sin(emb)
+
+
+def _rotate_half(x):
+    x1, x2 = jnp.split(x, 2, axis=-1)
+    return jnp.concatenate([-x2, x1], axis=-1)
+
+
+def _vision_block(h, lp, vc: QwenVisionConfig, cos, sin, patch_valid, is_full, attn_impl):
+    B, P, H = h.shape
+    nh, hd = vc.num_heads, vc.head_dim
+    wp = vc.win_patches
+
+    x = rms_norm(h, lp["norm1"], vc.rms_norm_eps)
+    qkv = x @ lp["qkv"]["kernel"] + lp["qkv"]["bias"]
+    q, k, v = jnp.split(qkv.reshape(B, P, 3, nh, hd), 3, axis=2)
+    q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]
+    # fp32 rotary (apply_rotary_pos_emb_vision)
+    qf, kf = q.astype(jnp.float32), k.astype(jnp.float32)
+    c, s = cos[:, :, None, :], sin[:, :, None, :]
+    q = (qf * c + _rotate_half(qf) * s).astype(h.dtype)
+    k = (kf * c + _rotate_half(kf) * s).astype(h.dtype)
+
+    def full_attn(q, k, v):
+        return mha(q, k, v, causal=False, key_padding_mask=patch_valid, impl=attn_impl)
+
+    def win_attn(q, k, v):
+        nW = P // wp
+        qw = q.reshape(B * nW, wp, nh, hd)
+        kw = k.reshape(B * nW, wp, nh, hd)
+        vw = v.reshape(B * nW, wp, nh, hd)
+        mw = patch_valid.reshape(B * nW, wp)
+        out = mha(qw, kw, vw, causal=False, key_padding_mask=mw, impl=attn_impl)
+        return out.reshape(B, P, nh, hd)
+
+    attn = jax.lax.cond(is_full, full_attn, win_attn, q, k, v)
+    attn = attn.reshape(B, P, H) @ lp["proj"]["kernel"] + lp["proj"]["bias"]
+    h = h + attn
+
+    x = rms_norm(h, lp["norm2"], vc.rms_norm_eps)
+    mlp = lp["mlp"]
+    x = (
+        silu(x @ mlp["gate"]["kernel"] + mlp["gate"]["bias"])
+        * (x @ mlp["up"]["kernel"] + mlp["up"]["bias"])
+    ) @ mlp["down"]["kernel"] + mlp["down"]["bias"]
+    return h + x
+
+
+def vision_forward(
+    params: dict,
+    vc: QwenVisionConfig,
+    patches: jnp.ndarray,  # (B, P, patch_dim), window-ordered + padded
+    patch_valid: jnp.ndarray,  # (B, P)
+    rot_pos: jnp.ndarray,  # (B, P, 2)
+    unit_gather: jnp.ndarray,  # (B, U) original unit -> windowed unit idx
+    num_units: jnp.ndarray,  # (B,)
+    *,
+    attn_impl: str = "auto",
+    remat: bool = False,
+) -> jnp.ndarray:
+    """-> (B, U, out_hidden) merged vision tokens in ORIGINAL unit order,
+    zeroed on invalid slots."""
+    B, P, _ = patches.shape
+    mm = vc.spatial_merge_size ** 2
+    h = patches @ params["patch_embed"]  # (B, P, H)
+    cos, sin = _vision_rope(rot_pos, vc.head_dim)
+
+    is_full = jnp.zeros((vc.depth,), jnp.bool_).at[
+        jnp.asarray(vc.fullatt_block_indexes, jnp.int32)
+    ].set(True)
+
+    body = _vision_block
+    if remat:
+        body = jax.checkpoint(body, static_argnums=(2, 7))
+
+    def scan_fn(carry, xs):
+        lp, full_flag = xs
+        return body(carry, lp, vc, cos, sin, patch_valid, full_flag, attn_impl), None
+
+    h, _ = jax.lax.scan(scan_fn, h, (params["blocks"], is_full))
+
+    # merger in window order (Qwen2_5_VLPatchMerger)
+    m = params["merger"]
+    x = rms_norm(h, m["ln_q"], vc.rms_norm_eps)
+    x = x.reshape(B, P // mm, mm * vc.hidden_size)
+    x = gelu(x @ m["fc1"]["kernel"] + m["fc1"]["bias"])
+    x = x @ m["fc2"]["kernel"] + m["fc2"]["bias"]  # (B, U_w, out)
+
+    # restore original merged order + zero invalid
+    out = jnp.take_along_axis(x, unit_gather[..., None], axis=1)  # (B, U, out)
+    slot = jnp.arange(out.shape[1])[None, :]
+    return jnp.where((slot < num_units[:, None])[..., None], out, 0)
+
+
+# ------------------------------------------------------------------ decoder
+
+def _mrope_cos_sin(
+    position_ids: jnp.ndarray,  # (3, B, S)
+    tc: QwenTextConfig,
+    dtype,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """M-RoPE: per-axis rope then section interleave
+    (apply_multimodal_rotary_pos_emb: sections*2 pattern over head_dim)."""
+    hd = tc.head_dim
+    half = hd // 2
+    inv_freq = 1.0 / (tc.rope_theta ** (jnp.arange(0, half, dtype=jnp.float32) / half))
+    pos = position_ids.astype(jnp.float32)  # (3, B, S)
+    freqs = pos[..., None] * inv_freq[None, None, None, :]  # (3, B, S, half)
+    emb = jnp.concatenate([freqs, freqs], axis=-1)  # (3, B, S, hd)
+    cos, sin = jnp.cos(emb), jnp.sin(emb)
+
+    sections = list(tc.mrope_section) * 2
+    axis_map = np.concatenate(
+        [np.full(n, i % 3, np.int32) for i, n in enumerate(sections)]
+    )
+    assert axis_map.shape[0] == hd, (axis_map.shape, hd)
+    am = jnp.asarray(axis_map)
+    cos = jnp.take_along_axis(cos, am[None, None, None, :], axis=0)[0]
+    sin = jnp.take_along_axis(sin, am[None, None, None, :], axis=0)[0]
+    # take_along_axis over axis 0 needs matching dims; the [None]s broadcast
+    return cos.astype(dtype), sin.astype(dtype)
+
+
+def _maybe_lora(x, base_out, lora_layer, name):
+    if lora_layer is None or name not in lora_layer:
+        return base_out
+    t = lora_layer[name]
+    return base_out + (x @ t["a"]) @ t["b"] * t["scale"]
+
+
+def _decoder_layer(h, lp, tc: QwenTextConfig, cos, sin, attention_mask, attn_impl, lora_layer):
+    B, S, H = h.shape
+    nh, nkv, hd = tc.num_heads, tc.num_kv_heads, tc.head_dim
+
+    residual = h
+    x = rms_norm(h, lp["input_layernorm"], tc.rms_norm_eps)
+    q = _maybe_lora(x, x @ lp["q_proj"]["kernel"] + lp["q_proj"]["bias"], lora_layer, "q_proj")
+    k = _maybe_lora(x, x @ lp["k_proj"]["kernel"] + lp["k_proj"]["bias"], lora_layer, "k_proj")
+    v = _maybe_lora(x, x @ lp["v_proj"]["kernel"] + lp["v_proj"]["bias"], lora_layer, "v_proj")
+    q = q.reshape(B, S, nh, hd)
+    k = k.reshape(B, S, nkv, hd)
+    v = v.reshape(B, S, nkv, hd)
+    c, s = cos[:, :, None, :], sin[:, :, None, :]
+    q = q * c + _rotate_half(q) * s
+    k = k * c + _rotate_half(k) * s
+    attn = mha(
+        q, k, v, causal=True, key_padding_mask=attention_mask,
+        sliding_window=tc.sliding_window, impl=attn_impl,
+    ).reshape(B, S, nh * hd)
+    attn = _maybe_lora(attn, attn @ lp["o_proj"]["kernel"], lora_layer, "o_proj")
+    h = residual + attn
+
+    residual = h
+    x = rms_norm(h, lp["post_attention_layernorm"], tc.rms_norm_eps)
+    gate = _maybe_lora(x, x @ lp["gate_proj"]["kernel"], lora_layer, "gate_proj")
+    up = _maybe_lora(x, x @ lp["up_proj"]["kernel"], lora_layer, "up_proj")
+    mlp = silu(gate) * up
+    mlp = _maybe_lora(mlp, mlp @ lp["down_proj"]["kernel"], lora_layer, "down_proj")
+    return residual + mlp
+
+
+class QwenOutput(NamedTuple):
+    last_hidden_state: jnp.ndarray
+    collected_hidden_state: Optional[jnp.ndarray]
+    vision_embedding: Optional[jnp.ndarray]  # (B, U, H) zeroed invalid slots
+
+
+def text_forward(
+    params: dict,
+    tc: QwenTextConfig,
+    inputs_embeds: jnp.ndarray,
+    attention_mask: jnp.ndarray,
+    position_ids: jnp.ndarray,  # (3, B, S)
+    *,
+    collect_layer_id: Optional[int] = None,
+    attn_impl: str = "auto",
+    remat: bool = False,
+    lora: Optional[dict] = None,
+):
+    cos, sin = _mrope_cos_sin(position_ids, tc, inputs_embeds.dtype)
+    collect = collect_layer_id is not None and collect_layer_id < tc.num_layers
+
+    body = _decoder_layer
+    if remat:
+        body = jax.checkpoint(
+            body, static_argnums=(2, 6),
+            policy=jax.checkpoint_policies.nothing_saveable,
+        )
+
+    def scan_fn(carry, xs):
+        h, collected, i = carry
+        lp, lora_layer = xs
+        h_new = body(h, lp, tc, cos, sin, attention_mask, attn_impl, lora_layer)
+        if collect:
+            collected = jnp.where(i + 1 == collect_layer_id, h_new, collected)
+        return (h_new, collected, i + 1), None
+
+    init_collected = inputs_embeds if collect else jnp.zeros((), inputs_embeds.dtype)
+    (h, collected, _), _ = jax.lax.scan(
+        scan_fn, (inputs_embeds, init_collected, jnp.int32(0)),
+        (params["layers"], lora),
+    )
+    last = rms_norm(h, params["final_layernorm"], tc.rms_norm_eps)
+    return last, (collected if collect else None)
+
+
+def forward(
+    params: dict,
+    cfg: Qwen25VLConfig,
+    input_ids: jnp.ndarray,  # (B, S)
+    attention_mask: jnp.ndarray,
+    position_ids: jnp.ndarray,  # (3, B, S)
+    patches: Optional[jnp.ndarray],  # (B, P, patch_dim) windowed
+    patch_valid: Optional[jnp.ndarray],
+    rot_pos: Optional[jnp.ndarray],
+    unit_gather: Optional[jnp.ndarray],
+    splice_idx: Optional[jnp.ndarray],  # (B, S)
+    num_img_tokens: Optional[jnp.ndarray],  # (B,) merged units
+    *,
+    collect_layer_id: Optional[int] = None,
+    attn_impl: str = "auto",
+    remat: bool = False,
+    lora: Optional[dict] = None,
+) -> QwenOutput:
+    embeds = params["text"]["embed_tokens"][input_ids]
+    dtype = embeds.dtype
+
+    vision_embedding = None
+    if patches is not None:
+        vision_embedding = vision_forward(
+            params["visual"], cfg.vision,
+            patches.astype(dtype), patch_valid, rot_pos, unit_gather,
+            num_img_tokens, attn_impl=attn_impl, remat=remat,
+        ).astype(dtype)
+        k = jnp.clip(splice_idx, 0, vision_embedding.shape[1] - 1)
+        spliced = jnp.take_along_axis(vision_embedding, k[..., None], axis=1)
+        embeds = jnp.where((splice_idx >= 0)[..., None], spliced, embeds)
+
+    last, collected = text_forward(
+        params["text"], cfg.text, embeds, attention_mask, position_ids,
+        collect_layer_id=collect_layer_id, attn_impl=attn_impl, remat=remat,
+        lora=lora,
+    )
+    return QwenOutput(last, collected, vision_embedding)

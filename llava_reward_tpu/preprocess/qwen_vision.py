@@ -1,0 +1,334 @@
+"""Qwen2.5-VL host-side vision preprocessing + static index precomputation.
+
+Reference behaviour reproduced:
+- smart_resize to factor-28 multiples within [min_pixels, max_pixels]
+  (base_mllm/qwen_vl_utils/vision_process.py:59-85);
+- image -> flattened temporal-patch array with HF's channel-major patch
+  layout and CLIP normalisation (Qwen2VLImageProcessor semantics);
+- the <|image_pad|> -> n-merged-token expansion in the token stream;
+- M-RoPE (t, h, w) position ids (Qwen2_5_VLModel.get_rope_index semantics).
+
+TPU-first redesign of the window machinery: HF reorders the patch sequence
+into window-contiguous order and runs varlen (cu_seqlens) attention
+(modeling_qwen2_5_vl.py get_window_index/forward). Here the HOST emits the
+patches already in window order, padded so every window is a full
+``win_patches`` block — window attention on device is then just a reshape
+to (num_windows, win_patches) + batched dense attention, and the four
+full-attention blocks use a plain valid-mask. No varlen, no dynamic shapes.
+Merger outputs are scattered back to original merged-block order with a
+host-precomputed gather.
+"""
+
+from __future__ import annotations
+
+import math
+from dataclasses import dataclass
+from typing import List, Optional, Sequence, Tuple
+
+import numpy as np
+
+from .phi3v_processor import OPENAI_CLIP_MEAN, OPENAI_CLIP_STD
+
+IMAGE_FACTOR = 28
+MIN_PIXELS = 4 * 28 * 28
+MAX_PIXELS = 16384 * 28 * 28
+MAX_RATIO = 200
+
+
+def round_by_factor(number: float, factor: int) -> int:
+    return round(number / factor) * factor
+
+
+def ceil_by_factor(number: float, factor: int) -> int:
+    return math.ceil(number / factor) * factor
+
+
+def floor_by_factor(number: float, factor: int) -> int:
+    return math.floor(number / factor) * factor
+
+
+def smart_resize(
+    height: int,
+    width: int,
+    factor: int = IMAGE_FACTOR,
+    min_pixels: int = MIN_PIXELS,
+    max_pixels: int = MAX_PIXELS,
+) -> Tuple[int, int]:
+    """(vision_process.py:59-85)."""
+    if max(height, width) / min(height, width) > MAX_RATIO:
+        raise ValueError(
+            f"aspect ratio must be < {MAX_RATIO}, got "
+            f"{max(height, width) / min(height, width)}"
+        )
+    h_bar = max(factor, round_by_factor(height, factor))
+    w_bar = max(factor, round_by_factor(width, factor))
+    if h_bar * w_bar > max_pixels:
+        beta = math.sqrt((height * width) / max_pixels)
+        h_bar = floor_by_factor(height / beta, factor)
+        w_bar = floor_by_factor(width / beta, factor)
+    elif h_bar * w_bar < min_pixels:
+        beta = math.sqrt(min_pixels / (height * width))
+        h_bar = ceil_by_factor(height * beta, factor)
+        w_bar = ceil_by_factor(width * beta, factor)
+    return h_bar, w_bar
+
+
+def fetch_image(
+    image,
+    factor: int = IMAGE_FACTOR,
+    min_pixels: int = MIN_PIXELS,
+    max_pixels: int = MAX_PIXELS,
+):
+    """PIL path of vision_process.py:97-140 (file/URL/base64 IO lives in the
+    data layer)."""
+    from PIL import Image
+
+    img = image.convert("RGB")
+    w, h = img.size
+    h_bar, w_bar = smart_resize(h, w, factor, min_pixels, max_pixels)
+    return img.resize((w_bar, h_bar), Image.BICUBIC)
+
+
+def image_to_patches(
+    image,
+    patch_size: int = 14,
+    temporal_patch_size: int = 2,
+    merge_size: int = 2,
+    min_pixels: int = MIN_PIXELS,
+    max_pixels: int = MAX_PIXELS,
+) -> Tuple[np.ndarray, Tuple[int, int, int]]:
+    """PIL image -> (num_patches, C*tps*ps*ps) float32 + grid (t, h, w), in
+    merged-block-major patch order with per-patch flat layout (C, tps, ph, pw)
+    — exactly Qwen2VLImageProcessor._preprocess's flatten order."""
+    img = fetch_image(image, patch_size * merge_size, min_pixels, max_pixels)
+    w_bar, h_bar = img.size
+    x = np.asarray(img, dtype=np.float32) / 255.0
+    x = (x - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD  # (H, W, C)
+    x = x.transpose(2, 0, 1)  # (C, H, W)
+    x = np.tile(x[None], (temporal_patch_size, 1, 1, 1))  # (tps, C, H, W)
+
+    C = x.shape[1]
+    gh, gw = h_bar // patch_size, w_bar // patch_size
+    m = merge_size
+    x = x.reshape(
+        temporal_patch_size, C, gh // m, m, patch_size, gw // m, m, patch_size
+    )
+    # -> (gh/m, gw/m, m, m, C, tps, ps, ps): merged-block-major patch order
+    x = x.transpose(2, 5, 3, 6, 1, 0, 4, 7)
+    patches = x.reshape(gh * gw, C * temporal_patch_size * patch_size * patch_size)
+    return patches.astype(np.float32), (1, gh, gw)
+
+
+def _merged_block_pos(gh: int, gw: int, m: int) -> np.ndarray:
+    """(num_patches, 2) (h, w) positions in merged-block patch order
+    (Qwen2_5_VisionTransformer.rot_pos_emb)."""
+    hpos = np.arange(gh)[:, None].repeat(gw, 1)
+    wpos = np.arange(gw)[None, :].repeat(gh, 0)
+
+    def reorder(p):
+        return (
+            p.reshape(gh // m, m, gw // m, m).transpose(0, 2, 1, 3).reshape(-1)
+        )
+
+    return np.stack([reorder(hpos), reorder(wpos)], axis=-1).astype(np.int32)
+
+
+def windowize(
+    grid: Tuple[int, int, int],
+    window_size: int = 112,
+    patch_size: int = 14,
+    merge_size: int = 2,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int]:
+    """Static window layout for one image.
+
+    Returns (patch_src, patch_valid, unit_gather, n_windows):
+    - ``patch_src`` (n_windows*win_patches,): for each windowed patch slot,
+      the source index in merged-block patch order (0 for pad slots);
+    - ``patch_valid`` same shape, bool;
+    - ``unit_gather`` (n_units,): for each ORIGINAL merged unit, its unit
+      index in the windowed layout (inverse permutation for the merger
+      output);
+    - ``n_windows``.
+    Window side = window_size // patch_size // merge merged units; partial
+    windows are padded (HF pads with -100 and drops, get_window_index).
+    """
+    _, gh, gw = grid
+    m = merge_size
+    mm = m * m
+    lh, lw = gh // m, gw // m
+    win = window_size // patch_size // m  # units per window side
+    nwh, nww = math.ceil(lh / win), math.ceil(lw / win)
+    n_windows = nwh * nww
+    units_per_window = win * win
+    win_patches = units_per_window * mm
+
+    unit_idx = np.full((nwh * win, nww * win), -1, np.int64)
+    unit_idx[:lh, :lw] = np.arange(lh * lw).reshape(lh, lw)
+    # -> (nwh, win, nww, win) -> (nwh, nww, win, win) -> window-major units
+    u = unit_idx.reshape(nwh, win, nww, win).transpose(0, 2, 1, 3).reshape(-1)
+
+    unit_gather = np.zeros(lh * lw, np.int32)
+    unit_gather[u[u >= 0]] = np.nonzero(u >= 0)[0].astype(np.int32)
+
+    patch_src = np.where(u >= 0, u, 0)[:, None] * mm + np.arange(mm)[None, :]
+    patch_valid = np.repeat(u >= 0, mm)
+    return (
+        patch_src.reshape(-1).astype(np.int32),
+        patch_valid,
+        unit_gather,
+        n_windows,
+    )
+
+
+# ------------------------------------------------------------------ M-RoPE
+
+def mrope_position_ids(
+    input_ids: np.ndarray,
+    image_token_id: int,
+    grid: Optional[Tuple[int, int, int]],
+    merge_size: int = 2,
+) -> np.ndarray:
+    """(3, S) int32 (get_rope_index, single image, no video): text advances
+    all axes; image tokens hold t and sweep (h, w) over the merged grid."""
+    S = input_ids.shape[0]
+    pos = np.zeros((3, S), np.int64)
+    img_mask = input_ids == image_token_id
+    if grid is None or not img_mask.any():
+        p = np.arange(S)
+        return np.stack([p, p, p]).astype(np.int32)
+
+    _, gh, gw = grid
+    lh, lw = gh // merge_size, gw // merge_size
+    cur = 0
+    i = 0
+    while i < S:
+        if not img_mask[i]:
+            pos[:, i] = cur
+            cur += 1
+            i += 1
+        else:
+            n = lh * lw
+            t0 = cur
+            pos[0, i : i + n] = t0
+            pos[1, i : i + n] = t0 + np.arange(lh).repeat(lw)
+            pos[2, i : i + n] = t0 + np.tile(np.arange(lw), lh)
+            cur = t0 + max(lh, lw)
+            i += n
+    return pos.astype(np.int32)
+
+
+# ------------------------------------------------------------------ sample
+
+@dataclass
+class QwenProcessedSample:
+    input_ids: np.ndarray  # (s,)
+    attention_mask: np.ndarray  # (s,)
+    position_ids: np.ndarray  # (3, s) M-RoPE
+    splice_idx: np.ndarray  # (s,) merged-token slot or -1
+    patches: Optional[np.ndarray]  # (n_windows*win_patches, patch_dim), windowed
+    patch_valid: Optional[np.ndarray]  # same leading shape, bool
+    rot_pos: Optional[np.ndarray]  # (n_windows*win_patches, 2), windowed order
+    unit_gather: Optional[np.ndarray]  # (n_units,) original unit -> windowed unit
+    grid_thw: Optional[Tuple[int, int, int]]
+    num_img_tokens: int  # merged units == LLM image tokens
+
+
+class Qwen25VLProcessor:
+    """Tokenizer + image processor; the prompt must contain ONE literal
+    ``<|image_pad|>`` token (the chat template's vision span)."""
+
+    def __init__(
+        self,
+        tokenizer,
+        patch_size: int = 14,
+        temporal_patch_size: int = 2,
+        merge_size: int = 2,
+        window_size: int = 112,
+        min_pixels: int = 256 * 28 * 28,  # (utils/utils.py:35-37)
+        max_pixels: int = 1280 * 28 * 28,
+        image_token_id: int = 151655,
+    ):
+        self.tokenizer = tokenizer
+        self.patch_size = patch_size
+        self.temporal_patch_size = temporal_patch_size
+        self.merge_size = merge_size
+        self.window_size = window_size
+        self.min_pixels = min_pixels
+        self.max_pixels = max_pixels
+        self.image_token_id = image_token_id
+
+    @property
+    def max_patches(self) -> int:
+        return self.max_pixels // (self.patch_size * self.patch_size)
+
+    def _tokenize(self, text: str) -> List[int]:
+        out = self.tokenizer(text)
+        if hasattr(out, "input_ids"):
+            return list(out.input_ids)
+        if isinstance(out, dict):
+            return list(out["input_ids"])
+        return list(out)
+
+    def __call__(self, text: str, images: Sequence = ()) -> QwenProcessedSample:
+        ids = np.asarray(self._tokenize(text), dtype=np.int32)
+        if not images:
+            p = np.arange(len(ids), dtype=np.int32)
+            return QwenProcessedSample(
+                ids, np.ones_like(ids), np.stack([p, p, p]),
+                np.full_like(ids, -1), None, None, None, None, None, 0,
+            )
+        if len(images) != 1:
+            raise NotImplementedError("one image per sample (v1)")
+
+        patches, grid = image_to_patches(
+            images[0], self.patch_size, self.temporal_patch_size,
+            self.merge_size, self.min_pixels, self.max_pixels,
+        )
+        m = self.merge_size
+        n_merged = (grid[1] // m) * (grid[2] // m)
+
+        pad_positions = np.nonzero(ids == self.image_token_id)[0]
+        assert len(pad_positions) == 1, "prompt must contain one <|image_pad|>"
+        p = int(pad_positions[0])
+        ids = np.concatenate(
+            [ids[:p], np.full(n_merged, self.image_token_id, np.int32), ids[p + 1 :]]
+        )
+        splice = np.full(len(ids), -1, np.int32)
+        splice[p : p + n_merged] = np.arange(n_merged)
+
+        patch_src, patch_valid, unit_gather, _ = windowize(
+            grid, self.window_size, self.patch_size, self.merge_size
+        )
+        rot = _merged_block_pos(grid[1], grid[2], m)  # original patch order
+        return QwenProcessedSample(
+            input_ids=ids,
+            attention_mask=np.ones_like(ids),
+            position_ids=mrope_position_ids(ids, self.image_token_id, grid, m),
+            splice_idx=splice,
+            patches=patches[patch_src] * patch_valid[:, None],
+            patch_valid=patch_valid,
+            rot_pos=rot[patch_src] * patch_valid[:, None].astype(np.int32),
+            unit_gather=unit_gather,
+            grid_thw=grid,
+            num_img_tokens=n_merged,
+        )
+
+
+def apply_qwen_chat_template(tokenizer, prompt: str) -> str:
+    """Dataset-layer prompt construction (reward_dataset.py:404-430: the
+    rendered template is sliced [58:-23] and stripped — the result is the
+    vision span + prompt text)."""
+    text = tokenizer.apply_chat_template(
+        [
+            {
+                "role": "user",
+                "content": [
+                    {"type": "image"},
+                    {"type": "text", "text": prompt},
+                ],
+            }
+        ],
+        tokenize=False,
+        add_generation_prompt=True,
+    )
+    return text[58:-23].strip()
