@@ -229,6 +229,79 @@ class PointwiseRewardDataset:
         return batch, labels
 
 
+class QwenPairwiseRewardDataset(PairwiseRewardDataset):
+    """Qwen2.5-VL pairwise dataset: prompt construction matches the
+    reference's qwen dataset (reward_dataset.py:404-430) via
+    apply_qwen_chat_template; collate pads the windowed patch arrays."""
+
+    def __init__(self, rows, processor, tokenizer, image_root=None,
+                 patch_budget: int = 6144, unit_budget: int = 1536):
+        super().__init__(rows, processor, tokenizer, image_root)
+        self.patch_budget = patch_budget
+        self.unit_budget = unit_budget
+
+    def _template(self, prompt: str) -> str:
+        from ..preprocess.qwen_vision import apply_qwen_chat_template
+
+        return apply_qwen_chat_template(self.tokenizer, prompt)
+
+    def __getitem__(self, idx: int):
+        prompt, chosen, reject, c_rate, r_rate = parse_pairwise_row(self.rows[idx])
+        if isinstance(prompt, list):
+            pc, pr = self._template(prompt[0]), self._template(prompt[1])
+        else:
+            pc = pr = self._template(prompt)
+        chosen_s = self.processor(pc, [self._open(chosen)])
+        reject_s = self.processor(pr, [self._open(reject)])
+        return chosen_s, reject_s, float(c_rate), float(r_rate)
+
+    def collate(self, items, seq_len: int, pad_token_id: int):
+        from ..preprocess.collate import collate_qwen_samples
+
+        chosen = collate_qwen_samples(
+            [i[0] for i in items], seq_len, pad_token_id,
+            self.patch_budget, self.unit_budget,
+        )
+        rejected = collate_qwen_samples(
+            [i[1] for i in items], seq_len, pad_token_id,
+            self.patch_budget, self.unit_budget,
+        )
+        c_rate = np.asarray([i[2] for i in items], np.float32)
+        r_rate = np.asarray([i[3] for i in items], np.float32)
+        return chosen, rejected, c_rate, r_rate
+
+
+class QwenPointwiseRewardDataset(PointwiseRewardDataset):
+    def __init__(self, rows, processor, tokenizer, image_root=None,
+                 patch_budget: int = 6144, unit_budget: int = 1536):
+        super().__init__(rows, processor, tokenizer, image_root)
+        self.patch_budget = patch_budget
+        self.unit_budget = unit_budget
+
+    def __getitem__(self, idx: int):
+        from PIL import Image, ImageFile
+
+        from ..preprocess.qwen_vision import apply_qwen_chat_template
+
+        ImageFile.LOAD_TRUNCATED_IMAGES = True
+        prompt, path, label = parse_pointwise_row(self.rows[idx])
+        text = apply_qwen_chat_template(self.tokenizer, prompt)
+        if self.image_root:
+            path = os.path.join(self.image_root, path)
+        sample = self.processor(text, [Image.open(path).convert("RGB")])
+        return sample, int(label)
+
+    def collate(self, items, seq_len: int, pad_token_id: int):
+        from ..preprocess.collate import collate_qwen_samples
+
+        batch = collate_qwen_samples(
+            [i[0] for i in items], seq_len, pad_token_id,
+            self.patch_budget, self.unit_budget,
+        )
+        labels = np.asarray([i[1] for i in items], np.float32)
+        return batch, labels
+
+
 def rewrite_paths(json_path: str, old_base: str, new_base: str, out_path: str) -> int:
     """Data-prep tool: rebase chosen_path/reject_path/path prefixes
     (data/re_path.py:5-21)."""

@@ -29,6 +29,7 @@ from ..core.config import (
 from ..io.artifact import (
     load_head_params,
     load_projector_params,
+    load_qwen_merger_params,
     load_reward_config,
 )
 from ..io.hf_phi3v import params_from_hf_state_dict
@@ -100,6 +101,54 @@ def phi3v_config_from_pretrain(pretrain: str) -> Phi3VConfig:
     return Phi3VConfig(decoder=decoder_config_from_hf_json(cj), vision=VisionConfig())
 
 
+def qwen_config_from_pretrain(pretrain: str):
+    """config.json -> Qwen25VLConfig; handles both flat (4.50-era) and
+    nested text_config layouts."""
+    from ..core.config import Qwen25VLConfig, QwenTextConfig, QwenVisionConfig
+
+    cfg_path = os.path.join(pretrain, "config.json")
+    if not os.path.exists(cfg_path):
+        from ..core.config import qwen25_vl_7b_config
+
+        return qwen25_vl_7b_config()
+    with open(cfg_path) as f:
+        cj = json.load(f)
+    tj = cj.get("text_config", cj)
+    vj = cj.get("vision_config", {})
+    rs = tj.get("rope_scaling") or cj.get("rope_scaling") or {}
+    text = QwenTextConfig(
+        vocab_size=tj.get("vocab_size", 152064),
+        hidden_size=tj.get("hidden_size", 3584),
+        intermediate_size=tj.get("intermediate_size", 18944),
+        num_layers=tj.get("num_hidden_layers", 28),
+        num_heads=tj.get("num_attention_heads", 28),
+        num_kv_heads=tj.get("num_key_value_heads", 4),
+        rms_norm_eps=tj.get("rms_norm_eps", 1e-6),
+        rope_theta=tj.get("rope_theta", 1000000.0),
+        max_position_embeddings=tj.get("max_position_embeddings", 128000),
+        mrope_section=tuple(rs.get("mrope_section", (16, 24, 24))),
+        sliding_window=tj.get("sliding_window")
+        if tj.get("use_sliding_window", False)
+        else None,
+        pad_token_id=tj.get("pad_token_id") or 151643,
+        eos_token_id=tj.get("eos_token_id", 151645),
+        image_token_id=cj.get("image_token_id", 151655),
+    )
+    vision = QwenVisionConfig(
+        depth=vj.get("depth", 32),
+        hidden_size=vj.get("hidden_size", 1280),
+        intermediate_size=vj.get("intermediate_size", 3420),
+        num_heads=vj.get("num_heads", 16),
+        patch_size=vj.get("patch_size", 14),
+        temporal_patch_size=vj.get("temporal_patch_size", 2),
+        spatial_merge_size=vj.get("spatial_merge_size", 2),
+        window_size=vj.get("window_size", 112),
+        fullatt_block_indexes=tuple(vj.get("fullatt_block_indexes", (7, 15, 23, 31))),
+        out_hidden_size=vj.get("out_hidden_size", 3584),
+    )
+    return Qwen25VLConfig(text=text, vision=vision)
+
+
 @dataclass
 class RewardAdaptor:
     """Loaded model + configs; ``score(batch)`` is the jitted custom_forward."""
@@ -138,17 +187,29 @@ def load_reward_adaptor(
     ``compute_dtype``: cast params for the device (e.g. jnp.bfloat16, the
     reference's torch_dtype=torch.bfloat16 at reward_adaptor_loader.py:36).
     """
-    if model_type != "phi3v":
-        raise NotImplementedError(
-            f"model_type={model_type}: qwen/llava backbones land with their "
-            "model implementations"
-        )
     rcfg = load_reward_config(pm_path)
-    cfg = phi3v_config_from_pretrain(pretrain)
-
     sd = load_torch_state_dict(pretrain)
-    cfg = _infer_vision_geometry(cfg, sd)
-    backbone = params_from_hf_state_dict(sd, cfg, dtype=dtype)
+
+    if model_type == "phi3v":
+        cfg = phi3v_config_from_pretrain(pretrain)
+        cfg = _infer_vision_geometry(cfg, sd)
+        backbone = params_from_hf_state_dict(sd, cfg, dtype=dtype)
+        decoder_cfg = cfg.decoder
+        layers_tree = backbone["decoder"]["layers"]
+        default_targets = ("qkv_proj", "o_proj", "gate_up_proj", "down_proj")
+    elif model_type == "qwen":
+        from ..io.hf_qwen import params_from_hf_state_dict as qwen_params
+        from ..lora.lora import QWEN_TARGETS
+
+        cfg = qwen_config_from_pretrain(pretrain)
+        backbone = qwen_params(sd, cfg, dtype=dtype)
+        decoder_cfg = cfg.text
+        layers_tree = backbone["text"]["layers"]
+        default_targets = QWEN_TARGETS
+    else:
+        raise NotImplementedError(
+            f"model_type={model_type}: llava lands with its backbone"
+        )
 
     # LoRA: merge-at-load (reference: load_adapter + enable_adapters,
     # reward_adaptor_loader.py:44-45)
@@ -161,31 +222,46 @@ def load_reward_adaptor(
             if os.path.exists(os.path.join(lora_dir, "adapter_model.bin"))
             else os.path.join(lora_dir, "adapter_model.safetensors")
         )
-        targets = [
-            t for t in ("qkv_proj", "o_proj", "gate_up_proj", "down_proj")
-            if any(t in k for k in lora_sd)
-        ]
+        targets = [t for t in default_targets if any(f"{t}.lora" in k for k in lora_sd)]
         stacked = peft_state_to_stacked(
-            lora_sd, cfg.decoder,
+            lora_sd, decoder_cfg,
             alpha=float(acfg.get("lora_alpha", 1.0)),
             rank=int(acfg.get("r", 1)),
             targets=targets, dtype=dtype,
         )
+        import jax
         import jax.numpy as jnp
 
-        backbone["decoder"]["layers"] = {
-            k: np.asarray(v)
-            for k, v in merge_lora(
-                {k: jnp.asarray(v) for k, v in backbone["decoder"]["layers"].items()},
-                {n: {kk: jnp.asarray(vv) for kk, vv in t.items()} for n, t in stacked.items()},
-            ).items()
+        merged = merge_lora(
+            {
+                k: (
+                    jax.tree_util.tree_map(jnp.asarray, v)
+                    if isinstance(v, dict)
+                    else jnp.asarray(v)
+                )
+                for k, v in layers_tree.items()
+            },
+            {n: {kk: jnp.asarray(vv) for kk, vv in t.items()} for n, t in stacked.items()},
+        )
+        merged = {
+            k: ({kk: np.asarray(vv) for kk, vv in v.items()} if isinstance(v, dict) else np.asarray(v))
+            for k, v in merged.items()
         }
+        if model_type == "phi3v":
+            backbone["decoder"]["layers"] = merged
+        else:
+            backbone["text"]["layers"] = merged
 
     head = load_head_params(pm_path, rcfg, dtype=dtype)
     if ft_projector:
-        proj = load_projector_params(pm_path, dtype=dtype)
-        if proj is not None:
-            backbone["vision"]["img_projection"] = proj
+        if model_type == "phi3v":
+            proj = load_projector_params(pm_path, dtype=dtype)
+            if proj is not None:
+                backbone["vision"]["img_projection"] = proj
+        else:
+            merger = load_qwen_merger_params(pm_path, dtype=dtype)
+            if merger is not None:
+                backbone["visual"]["merger"] = merger
 
     params = {"backbone": backbone, "head": head}
     if compute_dtype is not None:

@@ -81,6 +81,21 @@ def load_projector_params(pm_path: str, dtype=np.float32) -> Optional[dict]:
     }
 
 
+def load_qwen_merger_params(pm_path: str, dtype=np.float32) -> Optional[dict]:
+    """Qwen merger (ft_projector) weights from the artifact, matching the
+    loader's re-keying (reward_adaptor_loader.py:98-110: last two path parts
+    of 'merger' keys -> ln_q.weight / mlp.{0,2}.{weight,bias})."""
+    sd = load_torch_state_dict(os.path.join(pm_path, "pytorch_model.bin"))
+    proj = {".".join(k.split(".")[-2:]): v for k, v in sd.items() if "merger" in k}
+    if not proj:
+        return None
+    return {
+        "ln_q": proj["ln_q.weight"].astype(dtype),
+        "fc1": {"kernel": _t(proj["0.weight"].astype(dtype)), "bias": proj["0.bias"].astype(dtype)},
+        "fc2": {"kernel": _t(proj["2.weight"].astype(dtype)), "bias": proj["2.bias"].astype(dtype)},
+    }
+
+
 def save_reward_artifact(
     pm_path: str,
     rcfg: RewardConfig,

@@ -30,28 +30,45 @@ import numpy as np
 from ..core.config import DecoderConfig
 
 DEFAULT_TARGETS = ("qkv_proj", "o_proj", "gate_up_proj", "down_proj")
+# Qwen targets (create_lora_config_qwen, utils/utils.py:223-242): per-layer
+# q/k/v/o + gate/up/down
+QWEN_TARGETS = (
+    "q_proj", "k_proj", "v_proj", "o_proj", "gate_proj", "up_proj", "down_proj",
+)
 
 _PEFT_PATH = {
     "qkv_proj": "self_attn.qkv_proj",
     "o_proj": "self_attn.o_proj",
     "gate_up_proj": "mlp.gate_up_proj",
     "down_proj": "mlp.down_proj",
+    "q_proj": "self_attn.q_proj",
+    "k_proj": "self_attn.k_proj",
+    "v_proj": "self_attn.v_proj",
+    "gate_proj": "mlp.gate_proj",
+    "up_proj": "mlp.up_proj",
 }
 
 
-def _target_dims(cfg: DecoderConfig, name: str):
+def _target_dims(cfg, name: str):
     H, I = cfg.hidden_size, cfg.intermediate_size
-    return {
-        "qkv_proj": (H, cfg.q_size + 2 * cfg.kv_size),
+    dims = {
         "o_proj": (cfg.q_size, H),
-        "gate_up_proj": (H, 2 * I),
         "down_proj": (I, H),
-    }[name]
+        "q_proj": (H, cfg.q_size),
+        "k_proj": (H, cfg.kv_size),
+        "v_proj": (H, cfg.kv_size),
+        "gate_proj": (H, I),
+        "up_proj": (H, I),
+    }
+    if hasattr(cfg, "q_size"):
+        dims["qkv_proj"] = (H, cfg.q_size + 2 * cfg.kv_size)
+        dims["gate_up_proj"] = (H, 2 * I)
+    return dims[name]
 
 
 def init_lora(
     key: jax.Array,
-    cfg: DecoderConfig,
+    cfg,
     rank: int,
     alpha: float,
     targets: Sequence[str] = DEFAULT_TARGETS,
@@ -75,17 +92,24 @@ def init_lora(
 
 def merge_lora(base_layers: dict, lora: dict) -> dict:
     """Fold adapters into the frozen stacked weights (merge-at-load for pure
-    inference: zero per-step overhead)."""
+    inference: zero per-step overhead). Handles both bare-array layers
+    (phi3's fused weights) and {kernel, bias} dict layers (qwen)."""
     merged = dict(base_layers)
     for name, t in lora.items():
         delta = jnp.einsum("lir,lro->lio", t["a"], t["b"]) * t["scale"][:, None, None]
-        merged[name] = base_layers[name] + delta.astype(base_layers[name].dtype)
+        base = base_layers[name]
+        if isinstance(base, dict):
+            new = dict(base)
+            new["kernel"] = base["kernel"] + delta.astype(base["kernel"].dtype)
+            merged[name] = new
+        else:
+            merged[name] = base + delta.astype(base.dtype)
     return merged
 
 
 def peft_state_to_stacked(
     sd: Dict[str, np.ndarray],
-    cfg: DecoderConfig,
+    cfg,
     alpha: float,
     rank: int,
     targets: Sequence[str] = DEFAULT_TARGETS,
@@ -124,7 +148,7 @@ def peft_state_to_stacked(
 
 
 def stacked_to_peft_state(
-    lora: dict, cfg: DecoderConfig
+    lora: dict, cfg
 ) -> Dict[str, np.ndarray]:
     """Stacked lora tree -> PEFT adapter_model dict (so the reference's
     model.load_adapter can consume our trained adapters)."""

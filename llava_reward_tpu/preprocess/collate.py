@@ -71,6 +71,66 @@ def collate_samples(
     )
 
 
+def collate_qwen_samples(
+    samples,  # Sequence[qwen_vision.QwenProcessedSample]
+    seq_len: int,
+    pad_token_id: int,
+    patch_budget: int,
+    unit_budget: int,
+) -> Batch:
+    """Left-pad token streams; right-pad the windowed patch arrays to the
+    static (patch_budget, unit_budget). M-RoPE position ids are padded with
+    1 on the left (pad positions never attend)."""
+    B = len(samples)
+    input_ids = np.full((B, seq_len), pad_token_id, dtype=np.int32)
+    attention_mask = np.zeros((B, seq_len), dtype=np.int32)
+    splice_idx = np.full((B, seq_len), -1, dtype=np.int32)
+    position_ids = np.ones((3, B, seq_len), dtype=np.int32)
+
+    has_image = any(s.patches is not None for s in samples)
+    patches = patch_valid = rot_pos = unit_gather = num_img_tokens = None
+    if has_image:
+        ref = next(s for s in samples if s.patches is not None)
+        patches = np.zeros((B, patch_budget, ref.patches.shape[-1]), np.float32)
+        patch_valid = np.zeros((B, patch_budget), bool)
+        rot_pos = np.zeros((B, patch_budget, 2), np.int32)
+        unit_gather = np.zeros((B, unit_budget), np.int32)
+        num_img_tokens = np.zeros((B,), np.int32)
+
+    for b, s in enumerate(samples):
+        ids = s.input_ids[:seq_len]
+        n = ids.shape[0]
+        input_ids[b, seq_len - n :] = ids
+        attention_mask[b, seq_len - n :] = s.attention_mask[:seq_len]
+        splice_idx[b, seq_len - n :] = s.splice_idx[:seq_len]
+        position_ids[:, b, seq_len - n :] = s.position_ids[:, :seq_len]
+        if has_image and s.patches is not None:
+            p = s.patches.shape[0]
+            if p > patch_budget:
+                raise ValueError(f"patches {p} exceed budget {patch_budget}")
+            patches[b, :p] = s.patches
+            patch_valid[b, :p] = s.patch_valid
+            rot_pos[b, :p] = s.rot_pos
+            u = s.unit_gather.shape[0]
+            if u > unit_budget:
+                raise ValueError(f"units {u} exceed budget {unit_budget}")
+            unit_gather[b, :u] = s.unit_gather
+            num_img_tokens[b] = s.num_img_tokens
+
+    return Batch(
+        input_ids=input_ids,
+        attention_mask=attention_mask,
+        splice_idx=splice_idx,
+        position_ids=position_ids,
+        pixel_values=patches,
+        patch_valid=patch_valid,
+        rot_pos=rot_pos,
+        unit_gather=unit_gather,
+        num_img_tokens=num_img_tokens,
+        img_gather_idx=None,
+    )
+
+
 def to_reward_batch(batch: Batch):
     """Numpy Batch -> reward.model.RewardBatch (device put happens at jit)."""
     from ..reward.model import RewardBatch
@@ -79,7 +139,11 @@ def to_reward_batch(batch: Batch):
         input_ids=batch["input_ids"],
         attention_mask=batch["attention_mask"],
         pixel_values=batch["pixel_values"],
-        img_gather_idx=batch["img_gather_idx"],
+        img_gather_idx=batch.get("img_gather_idx"),
         splice_idx=batch["splice_idx"],
         num_img_tokens=batch["num_img_tokens"],
+        position_ids=batch.get("position_ids"),
+        patch_valid=batch.get("patch_valid"),
+        rot_pos=batch.get("rot_pos"),
+        unit_gather=batch.get("unit_gather"),
     )

@@ -16,20 +16,45 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..core.config import Phi3VConfig, RewardConfig
-from ..models import phi3v
+from ..core.config import Phi3VConfig, Qwen25VLConfig, RewardConfig
+from ..models import phi3v, qwen25_vl
 from . import heads, skipca
 
 
+def _is_qwen(cfg) -> bool:
+    return isinstance(cfg, Qwen25VLConfig)
+
+
+def hidden_size_of(cfg) -> int:
+    return cfg.text.hidden_size if _is_qwen(cfg) else cfg.decoder.hidden_size
+
+
+def num_layers_of(cfg) -> int:
+    return cfg.text.num_layers if _is_qwen(cfg) else cfg.decoder.num_layers
+
+
+def rms_eps_of(cfg) -> float:
+    return cfg.text.rms_norm_eps if _is_qwen(cfg) else cfg.decoder.rms_norm_eps
+
+
 class RewardBatch(NamedTuple):
-    """Static-shape device batch produced by the processor/collator."""
+    """Static-shape device batch produced by the processor/collator.
+
+    Phi3V uses (pixel_values, img_gather_idx); Qwen2.5-VL reuses
+    ``pixel_values`` for its windowed patch array plus the qwen-only
+    fields (position_ids (3, B, S) M-RoPE, patch_valid, rot_pos,
+    unit_gather)."""
 
     input_ids: jnp.ndarray  # (B, S)
     attention_mask: jnp.ndarray  # (B, S)
-    pixel_values: Optional[jnp.ndarray]  # (B, num_crops+1, crop, crop, 3)
-    img_gather_idx: Optional[jnp.ndarray]  # (B, T_img)
+    pixel_values: Optional[jnp.ndarray]  # phi3v: (B, crops+1, 336, 336, 3); qwen: (B, P, patch_dim)
+    img_gather_idx: Optional[jnp.ndarray]  # (B, T_img) phi3v feature-bank gather
     splice_idx: Optional[jnp.ndarray]  # (B, S)
     num_img_tokens: Optional[jnp.ndarray]  # (B,)
+    position_ids: Optional[jnp.ndarray] = None  # qwen M-RoPE (3, B, S)
+    patch_valid: Optional[jnp.ndarray] = None  # qwen (B, P)
+    rot_pos: Optional[jnp.ndarray] = None  # qwen (B, P, 2)
+    unit_gather: Optional[jnp.ndarray] = None  # qwen (B, U)
 
 
 class RewardOutput(NamedTuple):
@@ -39,12 +64,12 @@ class RewardOutput(NamedTuple):
 
 
 def init_head_params(
-    key: jax.Array, cfg: Phi3VConfig, rcfg: RewardConfig, dtype=jnp.float32
+    key: jax.Array, cfg, rcfg: RewardConfig, dtype=jnp.float32
 ) -> dict:
     """Initialise the trainable reward-specific modules (value head, optional
     SkipCA and prompt head) — rw_model_general_preference.py:235-284."""
     k1, k2, k3 = jax.random.split(key, 3)
-    H = cfg.decoder.hidden_size
+    H = hidden_size_of(cfg)
     dim = rcfg.value_head_dim if rcfg.is_general_preference else 1
     p = {"value_head": heads.init_value_head(k1, H, dim, dtype)}
     if rcfg.add_cross_attention:
@@ -68,26 +93,49 @@ def reward_forward(
     skipca_batch_max: Optional[jnp.ndarray] = None,  # (B,) see skipca.apply
 ) -> RewardOutput:
     attention_mask = batch.attention_mask
-    # position_ids = cumsum(mask)-1 with pads forced to 1 (rw:344-345)
-    position_ids = jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1
-    position_ids = jnp.where(attention_mask == 0, 1, position_ids)
+    collect = None if rcfg.layer_id >= num_layers_of(cfg) else rcfg.layer_id
 
-    collect = None if rcfg.layer_id >= cfg.decoder.num_layers else rcfg.layer_id
-    out = phi3v.forward(
-        params["backbone"],
-        cfg,
-        batch.input_ids,
-        attention_mask,
-        position_ids,
-        batch.pixel_values,
-        batch.img_gather_idx,
-        batch.splice_idx,
-        batch.num_img_tokens,
-        collect_layer_id=collect,
-        attn_impl=attn_impl,
-        remat=remat,
-        lora=lora,
-    )
+    if _is_qwen(cfg):
+        assert batch.position_ids is not None, "qwen needs M-RoPE position_ids"
+        out = qwen25_vl.forward(
+            params["backbone"],
+            cfg,
+            batch.input_ids,
+            attention_mask,
+            batch.position_ids,
+            batch.pixel_values,
+            batch.patch_valid,
+            batch.rot_pos,
+            batch.unit_gather,
+            batch.splice_idx,
+            batch.num_img_tokens,
+            collect_layer_id=collect,
+            attn_impl=attn_impl,
+            remat=remat,
+            lora=lora,
+        )
+        skipca_mode = "qwen"  # per-sample -1e4 mask (rw:390)
+    else:
+        # position_ids = cumsum(mask)-1 with pads forced to 1 (rw:344-345)
+        position_ids = jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1
+        position_ids = jnp.where(attention_mask == 0, 1, position_ids)
+        out = phi3v.forward(
+            params["backbone"],
+            cfg,
+            batch.input_ids,
+            attention_mask,
+            position_ids,
+            batch.pixel_values,
+            batch.img_gather_idx,
+            batch.splice_idx,
+            batch.num_img_tokens,
+            collect_layer_id=collect,
+            attn_impl=attn_impl,
+            remat=remat,
+            lora=lora,
+        )
+        skipca_mode = "phi3v"
+
     hidden = (
         out.last_hidden_state if collect is None else out.collected_hidden_state
     )
@@ -98,8 +146,8 @@ def reward_forward(
             hidden,
             out.vision_embedding,
             batch.num_img_tokens,
-            rms_eps=cfg.decoder.rms_norm_eps,
-            mode="phi3v",
+            rms_eps=rms_eps_of(cfg),
+            mode=skipca_mode,
             batch_max=skipca_batch_max,
         )
 
@@ -143,11 +191,22 @@ def paired_forward(
             return None
         return jnp.concatenate([a, b], axis=0)
 
-    stacked = RewardBatch(*[cat(a, b) for a, b in zip(chosen, rejected)])
+    fields = {}
+    for name, a, b in zip(RewardBatch._fields, chosen, rejected):
+        if name == "position_ids" and a is not None:
+            fields[name] = jnp.concatenate([a, b], axis=1)  # (3, B, S) batch axis
+        else:
+            fields[name] = cat(a, b)
+    stacked = RewardBatch(**fields)
     # The reference runs chosen and rejected as two SEPARATE forwards, so each
-    # half's SkipCA zero-pad width is that half's own max image-token count.
+    # half's SkipCA zero-pad width is that half's own max image-token count
+    # (phi3v's zero-column semantics only; qwen masks per sample).
     skipca_bm = None
-    if rcfg.add_cross_attention and chosen.num_img_tokens is not None:
+    if (
+        rcfg.add_cross_attention
+        and not _is_qwen(cfg)
+        and chosen.num_img_tokens is not None
+    ):
         Bc = chosen.input_ids.shape[0]
         skipca_bm = jnp.concatenate(
             [
