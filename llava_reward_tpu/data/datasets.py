@@ -229,6 +229,25 @@ class PointwiseRewardDataset:
         return batch, labels
 
 
+class LlavaPairwiseRewardDataset(PairwiseRewardDataset):
+    """LLaVA-v1.6 pairwise dataset (reward_dataset.py:267-350): chat template
+    sliced [0:-11] + EOS; the anyres processor shares the phi3v sample/collate
+    shapes so the base collate applies unchanged."""
+
+    def __getitem__(self, idx: int):
+        from ..preprocess.llava_processor import apply_llava_chat_template
+
+        prompt, chosen, reject, c_rate, r_rate = parse_pairwise_row(self.rows[idx])
+        if isinstance(prompt, list):
+            pc = apply_llava_chat_template(self.tokenizer, prompt[0])
+            pr = apply_llava_chat_template(self.tokenizer, prompt[1])
+        else:
+            pc = pr = apply_llava_chat_template(self.tokenizer, prompt)
+        chosen_s = self.processor(pc, [self._open(chosen)])
+        reject_s = self.processor(pr, [self._open(reject)])
+        return chosen_s, reject_s, float(c_rate), float(r_rate)
+
+
 class QwenPairwiseRewardDataset(PairwiseRewardDataset):
     """Qwen2.5-VL pairwise dataset: prompt construction matches the
     reference's qwen dataset (reward_dataset.py:404-430) via

@@ -28,6 +28,7 @@ from ..core.config import (
 )
 from ..io.artifact import (
     load_head_params,
+    load_llava_projector_params,
     load_projector_params,
     load_qwen_merger_params,
     load_reward_config,
@@ -99,6 +100,54 @@ def phi3v_config_from_pretrain(pretrain: str) -> Phi3VConfig:
     with open(cfg_path) as f:
         cj = json.load(f)
     return Phi3VConfig(decoder=decoder_config_from_hf_json(cj), vision=VisionConfig())
+
+
+def llava_config_from_pretrain(pretrain: str):
+    """config.json -> LlavaNextConfig (nested text_config/vision_config)."""
+    from ..core.config import LlavaNextConfig, QwenTextConfig, VisionConfig
+
+    cfg_path = os.path.join(pretrain, "config.json")
+    if not os.path.exists(cfg_path):
+        return LlavaNextConfig()
+    with open(cfg_path) as f:
+        cj = json.load(f)
+    tj = cj.get("text_config", {})
+    vj = cj.get("vision_config", {})
+    hd = tj.get("hidden_size", 5120) // tj.get("num_attention_heads", 40)
+    text = QwenTextConfig(
+        vocab_size=tj.get("vocab_size", 32064),
+        hidden_size=tj.get("hidden_size", 5120),
+        intermediate_size=tj.get("intermediate_size", 13824),
+        num_layers=tj.get("num_hidden_layers", 40),
+        num_heads=tj.get("num_attention_heads", 40),
+        num_kv_heads=tj.get("num_key_value_heads", tj.get("num_attention_heads", 40)),
+        rms_norm_eps=tj.get("rms_norm_eps", 1e-5),
+        rope_theta=tj.get("rope_theta", 10000.0),
+        max_position_embeddings=tj.get("max_position_embeddings", 4096),
+        mrope_section=(hd // 2, 0, 0),
+        pad_token_id=tj.get("pad_token_id") or 0,
+        eos_token_id=tj.get("eos_token_id", 2),
+        image_token_id=cj.get("image_token_index", 32000),
+    )
+    vision = VisionConfig(
+        hidden_size=vj.get("hidden_size", 1024),
+        intermediate_size=vj.get("intermediate_size", 4096),
+        num_layers=vj.get("num_hidden_layers", 24),
+        num_heads=vj.get("num_attention_heads", 16),
+        image_size=vj.get("image_size", 336),
+        patch_size=vj.get("patch_size", 14),
+        feature_layer_idx=cj.get("vision_feature_layer", -2),
+    )
+    return LlavaNextConfig(
+        text=text,
+        vision=vision,
+        grid_pinpoints=tuple(
+            tuple(p) for p in cj.get(
+                "image_grid_pinpoints",
+                [[336, 672], [672, 336], [672, 672], [1008, 336], [336, 1008]],
+            )
+        ),
+    )
 
 
 def qwen_config_from_pretrain(pretrain: str):
@@ -206,10 +255,17 @@ def load_reward_adaptor(
         decoder_cfg = cfg.text
         layers_tree = backbone["text"]["layers"]
         default_targets = QWEN_TARGETS
+    elif model_type == "llava":
+        from ..io.hf_llava import params_from_hf_state_dict as llava_params
+        from ..lora.lora import QWEN_TARGETS
+
+        cfg = llava_config_from_pretrain(pretrain)
+        backbone = llava_params(sd, cfg, dtype=dtype)
+        decoder_cfg = cfg.text
+        layers_tree = backbone["text"]["layers"]
+        default_targets = QWEN_TARGETS
     else:
-        raise NotImplementedError(
-            f"model_type={model_type}: llava lands with its backbone"
-        )
+        raise NotImplementedError(f"unknown model_type={model_type}")
 
     # LoRA: merge-at-load (reference: load_adapter + enable_adapters,
     # reward_adaptor_loader.py:44-45)
@@ -258,10 +314,14 @@ def load_reward_adaptor(
             proj = load_projector_params(pm_path, dtype=dtype)
             if proj is not None:
                 backbone["vision"]["img_projection"] = proj
-        else:
+        elif model_type == "qwen":
             merger = load_qwen_merger_params(pm_path, dtype=dtype)
             if merger is not None:
                 backbone["visual"]["merger"] = merger
+        else:  # llava: multi_modal_projector re-keyed by linear_{1,2}
+            proj = load_llava_projector_params(pm_path, dtype=dtype)
+            if proj is not None:
+                backbone["vision"]["projector"] = proj
 
     params = {"backbone": backbone, "head": head}
     if compute_dtype is not None:

@@ -96,6 +96,29 @@ def load_qwen_merger_params(pm_path: str, dtype=np.float32) -> Optional[dict]:
     }
 
 
+def load_llava_projector_params(pm_path: str, dtype=np.float32) -> Optional[dict]:
+    """LLaVA multi_modal_projector weights from the artifact
+    (reward_adaptor_loader.py:143-148: re-keyed to linear_{1,2})."""
+    sd = load_torch_state_dict(os.path.join(pm_path, "pytorch_model.bin"))
+    proj = {
+        ".".join(k.split(".")[-2:]): v
+        for k, v in sd.items()
+        if "multi_modal_projector" in k
+    }
+    if not proj:
+        return None
+    return {
+        "fc1": {
+            "kernel": _t(proj["linear_1.weight"].astype(dtype)),
+            "bias": proj["linear_1.bias"].astype(dtype),
+        },
+        "fc2": {
+            "kernel": _t(proj["linear_2.weight"].astype(dtype)),
+            "bias": proj["linear_2.bias"].astype(dtype),
+        },
+    }
+
+
 def save_reward_artifact(
     pm_path: str,
     rcfg: RewardConfig,

@@ -264,15 +264,24 @@ def _maybe_lora(x, base_out, lora_layer, name):
     return base_out + (x @ t["a"]) @ t["b"] * t["scale"]
 
 
+def _lin(x, p):
+    """x @ kernel (+ bias if present) — llama (vicuna) layers share the qwen
+    structure minus the qkv biases."""
+    out = x @ p["kernel"]
+    if "bias" in p:
+        out = out + p["bias"]
+    return out
+
+
 def _decoder_layer(h, lp, tc: QwenTextConfig, cos, sin, attention_mask, attn_impl, lora_layer):
     B, S, H = h.shape
     nh, nkv, hd = tc.num_heads, tc.num_kv_heads, tc.head_dim
 
     residual = h
     x = rms_norm(h, lp["input_layernorm"], tc.rms_norm_eps)
-    q = _maybe_lora(x, x @ lp["q_proj"]["kernel"] + lp["q_proj"]["bias"], lora_layer, "q_proj")
-    k = _maybe_lora(x, x @ lp["k_proj"]["kernel"] + lp["k_proj"]["bias"], lora_layer, "k_proj")
-    v = _maybe_lora(x, x @ lp["v_proj"]["kernel"] + lp["v_proj"]["bias"], lora_layer, "v_proj")
+    q = _maybe_lora(x, _lin(x, lp["q_proj"]), lora_layer, "q_proj")
+    k = _maybe_lora(x, _lin(x, lp["k_proj"]), lora_layer, "k_proj")
+    v = _maybe_lora(x, _lin(x, lp["v_proj"]), lora_layer, "v_proj")
     q = q.reshape(B, S, nh, hd)
     k = k.reshape(B, S, nkv, hd)
     v = v.reshape(B, S, nkv, hd)

@@ -16,8 +16,13 @@ from typing import NamedTuple, Optional
 import jax
 import jax.numpy as jnp
 
-from ..core.config import Phi3VConfig, Qwen25VLConfig, RewardConfig
-from ..models import phi3v, qwen25_vl
+from ..core.config import (
+    LlavaNextConfig,
+    Phi3VConfig,
+    Qwen25VLConfig,
+    RewardConfig,
+)
+from ..models import llava_next, phi3v, qwen25_vl
 from . import heads, skipca
 
 
@@ -25,16 +30,20 @@ def _is_qwen(cfg) -> bool:
     return isinstance(cfg, Qwen25VLConfig)
 
 
+def _is_llava(cfg) -> bool:
+    return isinstance(cfg, LlavaNextConfig)
+
+
 def hidden_size_of(cfg) -> int:
-    return cfg.text.hidden_size if _is_qwen(cfg) else cfg.decoder.hidden_size
+    return cfg.text.hidden_size if hasattr(cfg, "text") else cfg.decoder.hidden_size
 
 
 def num_layers_of(cfg) -> int:
-    return cfg.text.num_layers if _is_qwen(cfg) else cfg.decoder.num_layers
+    return cfg.text.num_layers if hasattr(cfg, "text") else cfg.decoder.num_layers
 
 
 def rms_eps_of(cfg) -> float:
-    return cfg.text.rms_norm_eps if _is_qwen(cfg) else cfg.decoder.rms_norm_eps
+    return cfg.text.rms_norm_eps if hasattr(cfg, "text") else cfg.decoder.rms_norm_eps
 
 
 class RewardBatch(NamedTuple):
@@ -115,6 +124,23 @@ def reward_forward(
             lora=lora,
         )
         skipca_mode = "qwen"  # per-sample -1e4 mask (rw:390)
+    elif _is_llava(cfg):
+        out = llava_next.forward(
+            params["backbone"],
+            cfg,
+            batch.input_ids,
+            attention_mask,
+            batch.pixel_values,
+            batch.img_gather_idx,
+            batch.splice_idx,
+            batch.num_img_tokens,
+            collect_layer_id=collect,
+            attn_impl=attn_impl,
+            remat=remat,
+            lora=lora,
+        )
+        # SkipCA is not wired for llava in the reference (rw:372-375)
+        skipca_mode = None
     else:
         # position_ids = cumsum(mask)-1 with pads forced to 1 (rw:344-345)
         position_ids = jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1
@@ -140,7 +166,11 @@ def reward_forward(
         out.last_hidden_state if collect is None else out.collected_hidden_state
     )
 
-    if rcfg.add_cross_attention and out.vision_embedding is not None:
+    if (
+        rcfg.add_cross_attention
+        and skipca_mode is not None
+        and out.vision_embedding is not None
+    ):
         hidden = skipca.apply(
             params["head"]["skipca"],
             hidden,
