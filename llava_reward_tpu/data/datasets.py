@@ -170,6 +170,13 @@ class PairwiseRewardDataset:
         return os.path.join(self.image_root, p) if self.image_root else p
 
     def _open(self, p):
+        # fast path: hand raw bytes to the native fused decode+HD pipeline
+        if getattr(self.processor, "accepts_bytes", False):
+            from ..preprocess import native
+
+            if native.native_available():
+                with open(self._path(p), "rb") as f:
+                    return f.read()
         from PIL import Image, ImageFile
 
         ImageFile.LOAD_TRUNCATED_IMAGES = True  # (reward_dataset.py:10)

@@ -223,14 +223,36 @@ def preprocess_image(
 ) -> Tuple[np.ndarray, Tuple[int, int], int]:
     """Full image pipeline for one image.
 
+    ``image``: PIL image, or raw JPEG/PNG ``bytes`` (routed through the
+    native C++ fused decode+HD+normalise pipeline when built —
+    native/imgproc.cpp — with a PIL fallback).
+
     Returns (pixel_values, (h, w), num_img_tokens) where pixel_values is
     (num_crops+1, 336, 336, 3) float32 channels-last: [global, crops...],
     zero-padded (matching pad_to_max_num_crops_tensor, :128-136).
     """
-    arr = hd_transform_image(image, num_crops)  # (H, W, 3) uint8
-    h, w = arr.shape[:2]
-    x = arr.astype(np.float32) / 255.0
-    x = (x - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD  # (H, W, 3)
+    x = None
+    if isinstance(image, (bytes, bytearray)):
+        from . import native
+
+        blob = bytes(image)
+        arr_hdr = native.decode_image(blob) if native.native_available() else None
+        if arr_hdr is not None:
+            hh, ww = arr_hdr.shape[:2]
+            outs = native.phi3v_hd_batch([blob], [(ww, hh)], num_crops, 1)
+            if outs is not None:
+                x = outs[0]  # already normalised (H, W, 3) float32
+        if x is None:  # fall back to PIL decode
+            import io
+
+            from PIL import Image
+
+            image = Image.open(io.BytesIO(blob))
+    if x is None:
+        arr = hd_transform_image(image, num_crops)  # (H, W, 3) uint8
+        x = arr.astype(np.float32) / 255.0
+        x = (x - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD  # (H, W, 3)
+    h, w = x.shape[:2]
 
     glb = bicubic_global_image(x.transpose(2, 0, 1)).transpose(1, 2, 0)  # (336,336,3)
 
@@ -266,6 +288,8 @@ class Phi3VProcessor:
     ``tokenizer`` needs ``__call__(text).input_ids`` (HF-compatible) or may
     be any callable ``text -> List[int]``.
     """
+
+    accepts_bytes = True  # images may arrive as raw JPEG/PNG bytes (native path)
 
     def __init__(
         self,
