@@ -255,16 +255,31 @@ class LlavaPairwiseRewardDataset(PairwiseRewardDataset):
         return chosen_s, reject_s, float(c_rate), float(r_rate)
 
 
+def _qwen_budgets(processor, patch_budget, unit_budget):
+    """Static patch/unit budgets from the processor's pixel limits: windows
+    are 64 patches; ragged edges can pad up to ~2x at extreme aspect ratios,
+    so give headroom (callers with odd data can pass explicit budgets)."""
+    if patch_budget is None:
+        max_patches = processor.max_pixels // (processor.patch_size ** 2)
+        patch_budget = 2 * ((max_patches + 63) // 64) * 64
+    if unit_budget is None:
+        max_patches = processor.max_pixels // (processor.patch_size ** 2)
+        unit_budget = max_patches // (processor.merge_size ** 2)
+    return patch_budget, unit_budget
+
+
 class QwenPairwiseRewardDataset(PairwiseRewardDataset):
     """Qwen2.5-VL pairwise dataset: prompt construction matches the
     reference's qwen dataset (reward_dataset.py:404-430) via
     apply_qwen_chat_template; collate pads the windowed patch arrays."""
 
     def __init__(self, rows, processor, tokenizer, image_root=None,
-                 patch_budget: int = 6144, unit_budget: int = 1536):
+                 patch_budget: Optional[int] = None,
+                 unit_budget: Optional[int] = None):
         super().__init__(rows, processor, tokenizer, image_root)
-        self.patch_budget = patch_budget
-        self.unit_budget = unit_budget
+        self.patch_budget, self.unit_budget = _qwen_budgets(
+            processor, patch_budget, unit_budget
+        )
 
     def _template(self, prompt: str) -> str:
         from ..preprocess.qwen_vision import apply_qwen_chat_template
@@ -299,10 +314,12 @@ class QwenPairwiseRewardDataset(PairwiseRewardDataset):
 
 class QwenPointwiseRewardDataset(PointwiseRewardDataset):
     def __init__(self, rows, processor, tokenizer, image_root=None,
-                 patch_budget: int = 6144, unit_budget: int = 1536):
+                 patch_budget: Optional[int] = None,
+                 unit_budget: Optional[int] = None):
         super().__init__(rows, processor, tokenizer, image_root)
-        self.patch_budget = patch_budget
-        self.unit_budget = unit_budget
+        self.patch_budget, self.unit_budget = _qwen_budgets(
+            processor, patch_budget, unit_budget
+        )
 
     def __getitem__(self, idx: int):
         from PIL import Image, ImageFile

@@ -91,12 +91,23 @@ def _flash_fwd(
     causal: bool,
     sliding_window: Optional[int],
     scale: float,
-    block_q: int = 256,
+    block_q: Optional[int] = None,
 ) -> jnp.ndarray:
     B, S, H, D = q.shape
     assert k.shape[2] == H, "GQA expanded in the wrapper"
 
     D_pad = _round_up(D, 128)
+    if block_q is None:
+        # Fit the VMEM budget (~16MB/core): K + V resident (2 * S * D_pad *
+        # itemsize, double-buffered by the pipeline) + fp32 score tile
+        # (block_q * S * 4) + q/out tiles. Solve for block_q, clamp to
+        # [64, 512] in VPU-friendly multiples.
+        S_est = _round_up(S, 64)
+        kv_bytes = 2 * 2 * S_est * D_pad * q.dtype.itemsize  # K+V, 2 buffers
+        budget = 11 * 1024 * 1024
+        avail = max(budget - kv_bytes, 2 * 1024 * 1024)
+        block_q = int(avail // (4 * S_est * 2))  # fp32 scores + exp temp
+        block_q = max(64, min(512, (block_q // 64) * 64))
     S_pad = _round_up(S, block_q)
     if D_pad != D:
         pad = [(0, 0), (0, 0), (0, 0), (0, D_pad - D)]

@@ -69,7 +69,9 @@ class RewardBatch(NamedTuple):
 class RewardOutput(NamedTuple):
     reward: jnp.ndarray  # (B, value_head_dim)
     prompt_hidden: Optional[jnp.ndarray]  # (B, H) for the MoE prompt head
-    last_hidden: Optional[jnp.ndarray]
+    last_hidden: Optional[jnp.ndarray]  # RAW backbone last_hidden_state
+    # (pre-SkipCA — the reference's MoE prompt gather and ptx logits both
+    #  read outputs["last_hidden_state"], rm_trainer…py:169-171,178-208)
 
 
 def init_head_params(
@@ -194,10 +196,14 @@ def reward_forward(
     prompt_hidden = None
     if prompt_end_index is not None:
         prompt_hidden = jnp.take_along_axis(
-            hidden, prompt_end_index[:, None, None], axis=1
+            out.last_hidden_state, prompt_end_index[:, None, None], axis=1
         )[:, 0, :]
 
-    return RewardOutput(reward=reward, prompt_hidden=prompt_hidden, last_hidden=hidden)
+    return RewardOutput(
+        reward=reward,
+        prompt_hidden=prompt_hidden,
+        last_hidden=out.last_hidden_state,
+    )
 
 
 def paired_forward(
@@ -263,4 +269,7 @@ def paired_forward(
     B = chosen.input_ids.shape[0]
     chosen_reward, reject_reward = out.reward[:B], out.reward[B:]
     prompt_hidden = out.prompt_hidden[:B] if out.prompt_hidden is not None else None
-    return chosen_reward, reject_reward, prompt_hidden
+    chosen_last_hidden = (
+        out.last_hidden[:B] if out.last_hidden is not None else None
+    )
+    return chosen_reward, reject_reward, prompt_hidden, chosen_last_hidden

@@ -70,7 +70,16 @@ def make_pairwise_loss_fn(
     compute_fp32_loss: bool = False,
     attn_impl: str = "auto",
     remat: bool = True,
+    add_pretrain_loss: bool = False,
+    ptx_loss_coef: float = 0.1,
+    reward_scaler_beta: float = 2.0,
 ) -> Callable:
+    """``add_pretrain_loss`` mixes the SFTSum ptx regulariser over the chosen
+    sequence's LM logits (rm_trainer…py:178-208): loss = (1 - coef) *
+    preference + coef * ptx. Requires 'lm_head' in the frozen backbone tree.
+    The reference runs a THIRD full forward for ptx; here the logits come
+    from the same stacked forward's chosen hidden states (one matmul more,
+    one 4B-model forward less)."""
     loss_name = select_loss_name(rcfg, cls_based)
     tau = rcfg.general_preference_tau
 
@@ -89,7 +98,7 @@ def make_pairwise_loss_fn(
             # (unbound chosen_response_len, rm_trainer…py:170) — we use the
             # EOS position, which for reward inputs IS the prompt end.
             prompt_end = eos_index_from_mask(chosen.attention_mask)
-        c_r, r_r, prompt_hidden = paired_forward(
+        c_r, r_r, prompt_hidden, chosen_last_hidden = paired_forward(
             params, cfg, rcfg, chosen, rejected,
             training=True, attn_impl=attn_impl, remat=remat, lora=lora,
             prompt_end_index=prompt_end,
@@ -119,6 +128,27 @@ def make_pairwise_loss_fn(
             loss, prob = losses.pairwise_loss(c_r, r_r, margin, tau=tau)
 
         metrics = {"preference_loss": loss, "prob": prob}
+
+        if add_pretrain_loss:
+            lm_head = frozen["backbone"].get("lm_head")
+            if lm_head is None:
+                raise ValueError("--add_pretrain_loss needs lm_head weights")
+            logits = chosen_last_hidden @ lm_head  # (B, S, V)
+            # mask out image positions like the reference's
+            # c_mask & (chosen_ids != -1) (rm_trainer…py:191-197)
+            m = chosen.attention_mask
+            if chosen.splice_idx is not None:
+                m = m * (chosen.splice_idx < 0).astype(m.dtype)
+            ptx = losses.sft_sum_loss(
+                logits.astype(jnp.float32),
+                chosen.input_ids,
+                m,
+                beta=reward_scaler_beta,
+            )
+            metrics["ptx_loss"] = ptx
+            loss = (1 - ptx_loss_coef) * loss + ptx_loss_coef * ptx
+            metrics["loss"] = loss
+
         return loss, metrics
 
     return loss_fn

@@ -76,7 +76,7 @@ def test_qwen_skipca_and_pairing():
     cfg, params, proc = _setup(rcfg)
     cb = _batch(cfg, proc, [("<img> good", _img(2))])
     rb = _batch(cfg, proc, [("<img> bad", _img(3))])
-    c, r, _ = paired_forward(params, cfg, rcfg, cb, rb, training=False, attn_impl="xla")
+    c, r, _, _ = paired_forward(params, cfg, rcfg, cb, rb, training=False, attn_impl="xla")
     c1 = reward_forward(params, cfg, rcfg, cb, training=False, attn_impl="xla").reward
     np.testing.assert_allclose(np.asarray(c), np.asarray(c1), rtol=1e-4, atol=1e-5)
 

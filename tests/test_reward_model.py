@@ -109,7 +109,7 @@ def test_paired_forward_matches_two_singles():
     cfg, params, proc, S = _tiny_setup(rcfg)
     cb = _batch(proc, [("<|image_1|> good image", _img(5))], S)
     rb_ = _batch(proc, [("<|image_1|> bad image", _img(6))], S)
-    c_r, r_r, _ = paired_forward(params, cfg, rcfg, cb, rb_, training=False, attn_impl="xla")
+    c_r, r_r, _, _ = paired_forward(params, cfg, rcfg, cb, rb_, training=False, attn_impl="xla")
     c_single = reward_forward(params, cfg, rcfg, cb, training=False, attn_impl="xla").reward
     r_single = reward_forward(params, cfg, rcfg, rb_, training=False, attn_impl="xla").reward
     np.testing.assert_allclose(np.asarray(c_r), np.asarray(c_single), rtol=1e-4, atol=1e-5)

@@ -23,35 +23,27 @@ def train(args):
     import jax.numpy as jnp
 
     from llava_reward_tpu.core.args import build_train_parser
-    from llava_reward_tpu.core.config import RewardConfig, phi3v_tiny_config
+    from llava_reward_tpu.core.config import RewardConfig
     from llava_reward_tpu.core.logging import init_logger
-    from llava_reward_tpu.data.datasets import (
-        PairwiseRewardDataset,
-        PointwiseRewardDataset,
-        blending_datasets,
-        is_pairwise,
-    )
+    from llava_reward_tpu.core.registry import get_family
+    from llava_reward_tpu.data.datasets import blending_datasets, is_pairwise
     from llava_reward_tpu.data.loader import PrefetchLoader
     from llava_reward_tpu.data.sampler import GroupSampler
-    from llava_reward_tpu.evalx.adaptor import phi3v_config_from_pretrain
-    from llava_reward_tpu.io.hf_phi3v import params_from_hf_state_dict
     from llava_reward_tpu.io.torch_io import load_torch_state_dict
     from llava_reward_tpu.lora.lora import init_lora
-    from llava_reward_tpu.models import phi3v
     from llava_reward_tpu.parallel.sharding import (
         create_mesh,
         shard_batch,
         shard_params,
     )
-    from llava_reward_tpu.preprocess.phi3v_processor import Phi3VProcessor
     from llava_reward_tpu.reward import init_head_params
+    from llava_reward_tpu.reward.model import num_layers_of
     from llava_reward_tpu.train.optim import make_optimizer
     from llava_reward_tpu.train.train_step import make_cls_loss_fn, make_pairwise_loss_fn
     from llava_reward_tpu.train.trainer import RewardTrainer
 
     logger = init_logger(__name__)
-    if args.model_type != "phi3v":
-        raise NotImplementedError("qwen/llava training lands with their backbones")
+    family = get_family(args.model_type)
 
     # ---- mesh (the ZeRO replacement, SURVEY.md §2c)
     mesh = create_mesh(dp=args.mesh_dp, fsdp=args.mesh_fsdp, tp=args.mesh_tp)
@@ -71,9 +63,9 @@ def train(args):
     # ---- model
     param_dtype = jnp.bfloat16 if args.bf16 else jnp.float32
     if args.pretrain and os.path.isdir(args.pretrain):
-        cfg = phi3v_config_from_pretrain(args.pretrain)
+        cfg = family.config_from_pretrain(args.pretrain)
         sd = load_torch_state_dict(args.pretrain)
-        backbone = params_from_hf_state_dict(sd, cfg, dtype=np.float32)
+        backbone = family.params_from_sd(sd, cfg, dtype=np.float32)
         backbone = jax.tree_util.tree_map(
             lambda x: jnp.asarray(x, dtype=param_dtype), backbone
         )
@@ -83,41 +75,58 @@ def train(args):
             args.pretrain, use_fast=not args.disable_fast_tokenizer,
             trust_remote_code=True, cache_dir=args.cache_dir,
         )
-        tokenizer.padding_side = "left"   # (utils/utils.py:27)
-        tokenizer.truncation_side = "right"
+        family.tokenizer_setup(tokenizer)
     else:
         logger.warning("no --pretrain dir; using tiny random config (smoke mode)")
-        cfg = phi3v_tiny_config(num_crops=4)
-        rcfg.layer_id = cfg.decoder.num_layers
-        backbone = phi3v.init_params(jax.random.PRNGKey(args.seed), cfg, param_dtype)
+        cfg = family.tiny_config()
+        rcfg.layer_id = num_layers_of(cfg)
+        backbone = family.init_params(jax.random.PRNGKey(args.seed), cfg, param_dtype)
+        dec = family.decoder_cfg(cfg)
 
         class _Tok:
             eos_token = "</s>"
-            pad_token_id = cfg.decoder.pad_token_id
+            pad_token_id = dec.pad_token_id
 
             def __call__(self, text):
-                return {"input_ids": [hash(t) % 500 + 3 for t in text.split()]}
+                ids = []
+                for t in text.split():
+                    if t in ("<|image_1|>", "<img>", "<image>") and hasattr(
+                        dec, "image_token_id"
+                    ):
+                        ids.append(dec.image_token_id)
+                    else:
+                        ids.append(hash(t) % 500 + 3)
+                return {"input_ids": ids}
 
             def apply_chat_template(self, msgs, tokenize=False, add_generation_prompt=True):
-                return "".join(m["content"] for m in msgs) + " " + "x" * 22
+                def flat(c):
+                    if isinstance(c, str):
+                        return c
+                    return " ".join(
+                        ("<img>" if p.get("type") == "image" else p.get("text", ""))
+                        for p in c
+                    )
+
+                return "x" * 58 + " ".join(flat(m["content"]) for m in msgs) + " " + "x" * 22
 
         tokenizer = _Tok()
 
-    processor = Phi3VProcessor(tokenizer, num_crops=cfg.num_crops)
+    processor = family.make_processor(tokenizer, cfg)
     frozen = {"backbone": backbone}
     trainable = {
         "head": init_head_params(jax.random.PRNGKey(1), cfg, rcfg, dtype=jnp.float32),
         "lora": (
             init_lora(
-                jax.random.PRNGKey(2), cfg.decoder, args.lora_rank, args.lora_alpha
+                jax.random.PRNGKey(2), family.decoder_cfg(cfg),
+                args.lora_rank, args.lora_alpha,
+                targets=tuple(args.target_modules) if args.target_modules else family.lora_targets,
             )
             if args.lora_rank > 0
             else None
         ),
         "projector": (
             jax.tree_util.tree_map(
-                lambda x: x.astype(jnp.float32),
-                backbone["vision"]["img_projection"],
+                lambda x: x.astype(jnp.float32), family.get_projector(backbone)
             )
             if args.ft_projector
             else None
@@ -130,7 +139,7 @@ def train(args):
     )
     pairwise = is_pairwise(train_rows)
     cls_based = args.cls_based or not pairwise
-    ds_cls = PointwiseRewardDataset if cls_based else PairwiseRewardDataset
+    ds_cls = family.pointwise_dataset if cls_based else family.pairwise_dataset
     train_ds = ds_cls(train_rows, processor, tokenizer, args.image_root)
     eval_ds = ds_cls(eval_rows, processor, tokenizer, args.image_root) if eval_rows else None
 
@@ -139,7 +148,7 @@ def train(args):
         len(train_ds), num_replicas=1, rank=0, shuffle=True, seed=args.seed,
         group_size=args.group_size,
     )
-    pad_id = cfg.decoder.pad_token_id
+    pad_id = family.decoder_cfg(cfg).pad_token_id
     train_loader = PrefetchLoader(
         train_ds, sampler, batch_size,
         collate_fn=lambda items: train_ds.collate(items, args.seq_len, pad_id),
@@ -177,6 +186,9 @@ def train(args):
         loss_fn = make_pairwise_loss_fn(
             cfg, rcfg, compute_fp32_loss=args.compute_fp32_loss,
             attn_impl=attn_impl, remat=args.gradient_checkpointing,
+            add_pretrain_loss=args.add_pretrain_loss,
+            ptx_loss_coef=args.ptx_loss_coef,
+            reward_scaler_beta=args.reward_scaler_beta,
         )
 
     # ---- shard over the mesh
