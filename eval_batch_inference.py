@@ -18,6 +18,7 @@ def main():
     p = argparse.ArgumentParser()
     p.add_argument("--pretrain", required=True)
     p.add_argument("--pm_path", required=True)
+    p.add_argument("--model_type", default="phi3v", choices=["phi3v", "qwen", "llava"])
     p.add_argument("--dataset", required=True)
     p.add_argument("--dataset_probs", default=None)
     p.add_argument("--image_root", default=None)
@@ -33,19 +34,19 @@ def main():
     import jax.numpy as jnp
     from transformers import AutoTokenizer
 
+    from llava_reward_tpu.core.registry import get_family
     from llava_reward_tpu.data.datasets import blending_datasets
     from llava_reward_tpu.evalx.adaptor import load_reward_adaptor
     from llava_reward_tpu.evalx.batch_inference import batch_rm_inference
-    from llava_reward_tpu.preprocess.phi3v_processor import Phi3VProcessor
 
+    family = get_family(args.model_type)
     adaptor = load_reward_adaptor(
-        args.pretrain, args.pm_path, ft_projector=args.ft_projector,
-        compute_dtype=jnp.bfloat16,
+        args.pretrain, args.pm_path, model_type=args.model_type,
+        ft_projector=args.ft_projector, compute_dtype=jnp.bfloat16,
     )
     tokenizer = AutoTokenizer.from_pretrained(args.pretrain, trust_remote_code=True)
-    tokenizer.padding_side = "left"
-    tokenizer.truncation_side = "right"
-    processor = Phi3VProcessor(tokenizer, num_crops=adaptor.cfg.num_crops)
+    family.tokenizer_setup(tokenizer)
+    processor = family.make_processor(tokenizer, adaptor.cfg)
 
     rows, _ = blending_datasets(
         args.dataset, args.dataset_probs, return_eval=False,

@@ -1,0 +1,75 @@
+"""Distributed runtime init — the DeepspeedStrategy.setup_distributed
+equivalent (deepspeed.py:97-111), TPU-native.
+
+On TPU pods there is no NCCL process-group dance: each host calls
+``jax.distributed.initialize`` (auto-configured on Cloud TPU), builds ONE
+global mesh over all devices, and XLA handles every collective over
+ICI/DCN. ``zero_stage``/``zpg`` flags from the reference map onto mesh
+axes (SURVEY.md §2c):
+
+  zero_stage 0      -> dp-only mesh (params replicated)
+  zero_stage 1/2/3  -> fsdp axis (params + opt-state sharded)
+  zpg > 1           -> hybrid mesh: fsdp within a slice (ICI), dp across
+                       slices (DCN) — the ZeRO++ hpZ layout
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from ..parallel.sharding import create_hybrid_mesh, create_mesh
+
+
+def setup_distributed(
+    coordinator_address: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> None:
+    """Multi-host init; a no-op for single-process runs. On Cloud TPU all
+    arguments are discovered from the metadata server."""
+    import jax
+
+    if num_processes is not None and num_processes > 1 or coordinator_address:
+        jax.distributed.initialize(
+            coordinator_address=coordinator_address,
+            num_processes=num_processes,
+            process_id=process_id,
+        )
+
+
+def mesh_from_args(args):
+    """Build the mesh from the train CLI flags, honouring the DeepSpeed
+    compatibility knobs."""
+    import jax
+
+    n = len(jax.devices())
+    if getattr(args, "zero_stage", 2) == 0:
+        return create_mesh(dp=n, fsdp=1, tp=getattr(args, "mesh_tp", 1))
+    zpg = getattr(args, "zpg", 1)
+    if zpg and zpg > 1 and n % zpg == 0 and n > zpg:
+        return create_hybrid_mesh(dp_dcn=n // zpg, fsdp_ici=zpg,
+                                  tp=getattr(args, "mesh_tp", 1))
+    return create_mesh(
+        dp=getattr(args, "mesh_dp", 1),
+        fsdp=getattr(args, "mesh_fsdp", -1),
+        tp=getattr(args, "mesh_tp", 1),
+    )
+
+
+def is_rank_0() -> bool:
+    import jax
+
+    return jax.process_index() == 0
+
+
+def local_rank() -> int:
+    import jax
+
+    return jax.process_index()
+
+
+def world_size() -> int:
+    import jax
+
+    return jax.process_count()

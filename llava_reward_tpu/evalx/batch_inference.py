@@ -46,14 +46,15 @@ def batch_rm_inference(
     import jax
     import jax.numpy as jnp
 
+    from ..core.registry import get_family
+
     rows = list(rows)[: max_samples or None]
-    pad_id = adaptor.cfg.decoder.pad_token_id
+    family = get_family(adaptor.model_type)
+    pad_id = family.decoder_cfg(adaptor.cfg).pad_token_id
     pairwise = is_pairwise(rows)
 
-    if pairwise:
-        ds = PairwiseRewardDataset(rows, processor, tokenizer, image_root)
-    else:
-        ds = PointwiseRewardDataset(rows, processor, tokenizer, image_root)
+    ds_cls = family.pairwise_dataset if pairwise else family.pointwise_dataset
+    ds = ds_cls(rows, processor, tokenizer, image_root)
 
     sampler = DistributedSampler(len(ds), shuffle=False)
     loader = PrefetchLoader(
@@ -79,14 +80,15 @@ def batch_rm_inference(
             if pairwise:
                 chosen, rejected, c_rate, r_rate = batch
                 cb, rb = to_reward_batch(chosen), to_reward_batch(rejected)
-                stacked = jax.tree_util.tree_map(
-                    lambda a, b: np.concatenate([a, b], 0)
-                    if a is not None
-                    else None,
-                    cb,
-                    rb,
-                    is_leaf=lambda x: x is None,
-                )
+                fields = {}
+                for name, a, b in zip(type(cb)._fields, cb, rb):
+                    if a is None:
+                        fields[name] = None
+                    elif name == "position_ids":  # (3, B, S): batch axis 1
+                        fields[name] = np.concatenate([a, b], axis=1)
+                    else:
+                        fields[name] = np.concatenate([a, b], axis=0)
+                stacked = type(cb)(**fields)
                 r = np.asarray(score(params, stacked))
                 n = len(c_rate)
                 p = preference_prob(

@@ -46,7 +46,10 @@ def train(args):
     family = get_family(args.model_type)
 
     # ---- mesh (the ZeRO replacement, SURVEY.md §2c)
-    mesh = create_mesh(dp=args.mesh_dp, fsdp=args.mesh_fsdp, tp=args.mesh_tp)
+    from llava_reward_tpu.core.mesh import mesh_from_args, setup_distributed
+
+    setup_distributed()
+    mesh = mesh_from_args(args)
     n_data = mesh.shape["dp"] * mesh.shape["fsdp"]
     logger.info("mesh %s (%d devices)", dict(mesh.shape), len(jax.devices()))
 
