@@ -56,6 +56,9 @@ def build_train_parser() -> argparse.ArgumentParser:
     p.add_argument("--gradient_checkpointing_use_reentrant", action="store_true")
     p.add_argument("--bf16", action="store_true", default=False)
     p.add_argument("--freeze_vision_model", action="store_true", default=True)
+    p.add_argument("--train_vision", action="store_true", default=False,
+                   help="LoRA over the CLIP tower (the reference's unfrozen-"
+                        "vision mode, utils/utils.py:205-222)")
     p.add_argument("--ft_projector", action="store_true", default=False)
     p.add_argument("--add_unpaired_head", action="store_true", default=False)
     p.add_argument("--flash_attn", action="store_true", default=False)

@@ -90,6 +90,40 @@ def init_lora(
     return tree
 
 
+CLIP_TARGETS = ("q", "k", "v", "out", "fc1", "fc2")
+
+
+def init_vision_lora(
+    key: jax.Array,
+    cfg,  # VisionConfig
+    rank: int,
+    alpha: float,
+    targets: Sequence[str] = CLIP_TARGETS,
+    dtype=jnp.float32,
+) -> dict:
+    """LoRA over the CLIP tower (the reference's unfrozen-vision mode:
+    create_lora_config adds CLIP modules when freeze_vision_model is off,
+    utils/utils.py:205-222). Only the active (penultimate-truncated) layers
+    are ever executed — patch_clip_for_lora's truncation is inherent here."""
+    H, I, L = cfg.hidden_size, cfg.intermediate_size, cfg.num_layers
+    dims = {
+        "q": (H, H), "k": (H, H), "v": (H, H), "out": (H, H),
+        "fc1": (H, I), "fc2": (I, H),
+    }
+    tree = {}
+    keys = jax.random.split(key, len(targets))
+    for k_, name in zip(keys, targets):
+        in_dim, out_dim = dims[name]
+        bound = math.sqrt(6.0 / in_dim)
+        a = jax.random.uniform(k_, (L, in_dim, rank), minval=-bound, maxval=bound)
+        tree[name] = {
+            "a": a.astype(dtype),
+            "b": jnp.zeros((L, rank, out_dim), dtype),
+            "scale": jnp.full((L,), alpha / rank, dtype),
+        }
+    return tree
+
+
 def merge_lora(base_layers: dict, lora: dict) -> dict:
     """Fold adapters into the frozen stacked weights (merge-at-load for pure
     inference: zero per-step overhead). Handles both bare-array layers

@@ -96,27 +96,44 @@ def embed_patches(params: dict, cfg: VisionConfig, pixel_values: jnp.ndarray) ->
     return emb + params["position_embedding"][None].astype(patches.dtype)
 
 
-def _encoder_layer(h, lp, cfg: VisionConfig, attn_impl: str):
+def _lora_delta(x, lora_layer, name):
+    if lora_layer is None or name not in lora_layer:
+        return 0.0
+    t = lora_layer[name]
+    return (x @ t["a"]) @ t["b"] * t["scale"]
+
+
+def _encoder_layer(h, lp, cfg: VisionConfig, attn_impl: str, lora_layer=None):
     act = ACT2FN[cfg.hidden_act]
     nh, hd = cfg.num_heads, cfg.head_dim
     N, S, H = h.shape
 
     residual = h
     x = layer_norm(h, lp["ln1"]["weight"], lp["ln1"]["bias"], cfg.layer_norm_eps)
-    q = x @ lp["attn"]["q"]["kernel"] + lp["attn"]["q"]["bias"]
-    k = x @ lp["attn"]["k"]["kernel"] + lp["attn"]["k"]["bias"]
-    v = x @ lp["attn"]["v"]["kernel"] + lp["attn"]["v"]["bias"]
+    a = lp["attn"]
+    q = x @ a["q"]["kernel"] + a["q"]["bias"] + _lora_delta(x, lora_layer, "q")
+    k = x @ a["k"]["kernel"] + a["k"]["bias"] + _lora_delta(x, lora_layer, "k")
+    v = x @ a["v"]["kernel"] + a["v"]["bias"] + _lora_delta(x, lora_layer, "v")
     q = q.reshape(N, S, nh, hd)
     k = k.reshape(N, S, nh, hd)
     v = v.reshape(N, S, nh, hd)
     attn = mha(q, k, v, causal=False, impl=attn_impl).reshape(N, S, H)
-    h = residual + (attn @ lp["attn"]["out"]["kernel"] + lp["attn"]["out"]["bias"])
+    attn_out = attn @ a["out"]["kernel"] + a["out"]["bias"] + _lora_delta(
+        attn, lora_layer, "out"
+    )
+    h = residual + attn_out
 
     residual = h
     x = layer_norm(h, lp["ln2"]["weight"], lp["ln2"]["bias"], cfg.layer_norm_eps)
-    x = act(x @ lp["mlp"]["fc1"]["kernel"] + lp["mlp"]["fc1"]["bias"])
-    x = x @ lp["mlp"]["fc2"]["kernel"] + lp["mlp"]["fc2"]["bias"]
-    return residual + x
+    x1 = act(
+        x @ lp["mlp"]["fc1"]["kernel"] + lp["mlp"]["fc1"]["bias"]
+        + _lora_delta(x, lora_layer, "fc1")
+    )
+    x2 = (
+        x1 @ lp["mlp"]["fc2"]["kernel"] + lp["mlp"]["fc2"]["bias"]
+        + _lora_delta(x1, lora_layer, "fc2")
+    )
+    return residual + x2
 
 
 def extract_patch_features(
@@ -126,6 +143,8 @@ def extract_patch_features(
     *,
     attn_impl: str = "auto",
     remat: bool = False,
+    lora: Optional[dict] = None,  # stacked vision LoRA (train_vision mode;
+    # targets q/k/v/out/fc1/fc2 like patch_clip_for_lora, utils.py:264-282)
 ) -> jnp.ndarray:
     """Penultimate-layer patch features, CLS dropped: (N, num_patches, H).
 
@@ -140,13 +159,16 @@ def extract_patch_features(
     )
     n_active = cfg.num_active_layers
     layers = jax.tree_util.tree_map(lambda x: x[:n_active], params["layers"])
+    if lora is not None:
+        lora = jax.tree_util.tree_map(lambda x: x[:n_active], lora)
 
     body = _encoder_layer
     if remat:
         body = jax.checkpoint(body, static_argnums=(2, 3))
 
-    def scan_fn(carry, lp):
-        return body(carry, lp, cfg, attn_impl), None
+    def scan_fn(carry, xs):
+        lp, lora_layer = xs
+        return body(carry, lp, cfg, attn_impl, lora_layer), None
 
-    h, _ = jax.lax.scan(scan_fn, h, layers)
+    h, _ = jax.lax.scan(scan_fn, h, (layers, lora))
     return h[:, 1:, :]  # drop CLS

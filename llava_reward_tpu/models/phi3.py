@@ -89,6 +89,9 @@ def decoder_layer(
     attn_impl: str,
     lora_layer: Optional[dict] = None,
 ) -> jnp.ndarray:
+    from ..utils.quantize import dequant_layer
+
+    lp = dequant_layer(lp, h.dtype)  # no-op unless weight-only quantized
     B, S, H = h.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 

@@ -75,6 +75,7 @@ def vision_feature_bank(
     *,
     attn_impl: str = "auto",
     remat: bool = False,
+    vision_lora: Optional[dict] = None,
 ) -> jnp.ndarray:
     """Dense merged-feature bank (B, (num_crops+1)*merge_grid^2 + 2, 4C):
     last two rows are sub_GN and glb_GN."""
@@ -85,6 +86,7 @@ def vision_feature_bank(
         pixel_values.reshape(B * NC, Himg, Wimg, C),
         attn_impl=attn_impl,
         remat=remat,
+        lora=vision_lora,
     )  # (B*NC, grid^2, image_dim_out)
     grid = cfg.vision.image_size // cfg.vision.patch_size
     merged = merge_2x2(feats, grid)  # (B*NC, (grid/2)^2, 4C)
@@ -119,16 +121,16 @@ def forward(
     attn_impl: str = "auto",
     remat: bool = False,
     lora: Optional[dict] = None,
-    vision_lora: Optional[dict] = None,  # reserved (vision tower LoRA)
+    vision_lora: Optional[dict] = None,  # stacked CLIP LoRA (train_vision)
 ) -> Phi3VOutput:
-    del vision_lora  # applied by merging into clip params at load time (v1)
     embeds = params["decoder"]["embed_tokens"][input_ids]
     dtype = embeds.dtype
 
     vision_embedding = None
     if pixel_values is not None:
         bank = vision_feature_bank(
-            params, cfg, pixel_values.astype(dtype), attn_impl=attn_impl, remat=remat
+            params, cfg, pixel_values.astype(dtype),
+            attn_impl=attn_impl, remat=remat, vision_lora=vision_lora,
         )  # (B, bank_len, 4C)
         gathered = jnp.take_along_axis(
             bank, img_gather_idx[..., None], axis=1

@@ -274,6 +274,9 @@ def _lin(x, p):
 
 
 def _decoder_layer(h, lp, tc: QwenTextConfig, cos, sin, attention_mask, attn_impl, lora_layer):
+    from ..utils.quantize import dequant_layer
+
+    lp = dequant_layer(lp, h.dtype)  # no-op unless weight-only quantized
     B, S, H = h.shape
     nh, nkv, hd = tc.num_heads, tc.num_kv_heads, tc.head_dim
 

@@ -100,6 +100,7 @@ def reward_forward(
     attn_impl: str = "auto",
     remat: bool = False,
     lora: Optional[dict] = None,
+    vision_lora: Optional[dict] = None,
     prompt_end_index: Optional[jnp.ndarray] = None,  # (B,) for MoE prompt head
     skipca_batch_max: Optional[jnp.ndarray] = None,  # (B,) see skipca.apply
 ) -> RewardOutput:
@@ -161,6 +162,7 @@ def reward_forward(
             attn_impl=attn_impl,
             remat=remat,
             lora=lora,
+            vision_lora=vision_lora,
         )
         skipca_mode = "phi3v"
 
@@ -217,6 +219,7 @@ def paired_forward(
     attn_impl: str = "auto",
     remat: bool = False,
     lora: Optional[dict] = None,
+    vision_lora: Optional[dict] = None,
     prompt_end_index: Optional[jnp.ndarray] = None,
 ):
     """Score (chosen, rejected) in one stacked forward. Both batches must be
@@ -259,6 +262,7 @@ def paired_forward(
         attn_impl=attn_impl,
         remat=remat,
         lora=lora,
+        vision_lora=vision_lora,
         prompt_end_index=(
             cat(prompt_end_index, prompt_end_index)
             if prompt_end_index is not None

@@ -51,15 +51,16 @@ def select_loss_name(rcfg: RewardConfig, cls_based: bool) -> str:
     return "bt"
 
 
-def assemble_params(frozen: dict, trainable: dict) -> Tuple[dict, Optional[dict]]:
-    """Merge the trainable leaves back into a full forward tree."""
+def assemble_params(frozen: dict, trainable: dict):
+    """Merge the trainable leaves back into a full forward tree.
+    Returns (params, lora, vision_lora)."""
     backbone = frozen["backbone"]
     if trainable.get("projector") is not None:
         backbone = dict(backbone)
         backbone["vision"] = dict(backbone["vision"])
         backbone["vision"]["img_projection"] = trainable["projector"]
     params = {"backbone": backbone, "head": trainable["head"]}
-    return params, trainable.get("lora")
+    return params, trainable.get("lora"), trainable.get("vision_lora")
 
 
 def make_pairwise_loss_fn(
@@ -90,7 +91,7 @@ def make_pairwise_loss_fn(
         rejected: RewardBatch,
         margin: Optional[jnp.ndarray] = None,
     ):
-        params, lora = assemble_params(frozen, trainable)
+        params, lora, vision_lora = assemble_params(frozen, trainable)
         prompt_end = None
         if loss_name == "moe":
             # prompt-conditioned R gathers the hidden state at the prompt's
@@ -101,7 +102,7 @@ def make_pairwise_loss_fn(
         c_r, r_r, prompt_hidden, chosen_last_hidden = paired_forward(
             params, cfg, rcfg, chosen, rejected,
             training=True, attn_impl=attn_impl, remat=remat, lora=lora,
-            prompt_end_index=prompt_end,
+            vision_lora=vision_lora, prompt_end_index=prompt_end,
         )
         if compute_fp32_loss:
             c_r = c_r.astype(jnp.float32)
@@ -165,10 +166,11 @@ def make_cls_loss_fn(
     """Pointwise classification objective (cls_fit, rm_trainer…py:240-345)."""
 
     def loss_fn(trainable, frozen, batch: RewardBatch, labels: jnp.ndarray):
-        params, lora = assemble_params(frozen, trainable)
+        params, lora, vision_lora = assemble_params(frozen, trainable)
         out = reward_forward(
             params, cfg, rcfg, batch,
             training=True, attn_impl=attn_impl, remat=remat, lora=lora,
+            vision_lora=vision_lora,
         )
         r = out.reward[..., 0]
         if compute_fp32_loss:

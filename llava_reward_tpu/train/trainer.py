@@ -60,6 +60,7 @@ class RewardTrainer:
         wandb_logger=None,
         mesh=None,
         shard_batch_fn: Optional[Callable] = None,
+        save_best_model: bool = False,
     ):
         self.cfg, self.rcfg = cfg, rcfg
         self.frozen = frozen
@@ -82,6 +83,11 @@ class RewardTrainer:
         self.wandb = wandb_logger
         self.mesh = mesh
         self.shard_batch_fn = shard_batch_fn
+        # --save_best_model: the reference's flag never fires
+        # (save_logs_and_checkpoints returns None, rm_trainer…py:367-368);
+        # here it tracks eval accuracy and keeps <save_path>/best.
+        self.save_best_model = save_best_model
+        self.best_eval_acc = float("-inf")
 
     # ------------------------------------------------------------ fit
 
@@ -157,21 +163,21 @@ class RewardTrainer:
         from .train_step import assemble_params
         from ..reward.model import reward_forward
 
-        params, lora = assemble_params(self.frozen, self.state.trainable)
+        params, lora, vision_lora = assemble_params(self.frozen, self.state.trainable)
         cfg, rcfg = self.cfg, self.rcfg
 
         @jax.jit
-        def score(p, l, batch):
+        def score(p, l, vl, batch):
             return reward_forward(
-                p, cfg, rcfg, batch, training=False, lora=l
+                p, cfg, rcfg, batch, training=False, lora=l, vision_lora=vl
             ).reward
 
         probs, losses = [], []
         for batch in self.eval_loader:
             chosen, rejected, c_rate, r_rate = batch
             cb, rb = to_reward_batch(chosen), to_reward_batch(rejected)
-            c = score(params, lora, cb)
-            r = score(params, lora, rb)
+            c = score(params, lora, vision_lora, cb)
+            r = score(params, lora, vision_lora, rb)
             p = preference_prob(
                 c, r,
                 is_general_preference=rcfg.is_general_preference,
@@ -182,6 +188,10 @@ class RewardTrainer:
         acc = float(np.mean(np.asarray(probs) > 0.5)) if probs else 0.0
         metrics = {"eval_acc": acc, "eval_mean_prob": float(np.mean(probs)) if probs else 0.0}
         logger.info("eval step %d %s", global_step, metrics)
+        if self.save_best_model and acc > self.best_eval_acc:
+            self.best_eval_acc = acc
+            self.save_artifact(os.path.join(self.save_path, "best"))
+            logger.info("new best eval_acc=%.4f -> saved %s/best", acc, self.save_path)
         if self.wandb is not None:
             self.wandb.log(
                 {f"eval/{k}": v for k, v in metrics.items()}

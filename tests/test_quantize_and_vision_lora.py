@@ -1,0 +1,137 @@
+"""Weight-only quantization + vision-tower LoRA."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from llava_reward_tpu.core.config import RewardConfig, phi3v_tiny_config
+from llava_reward_tpu.models import clip_vit, phi3, phi3v
+from llava_reward_tpu.utils.quantize import (
+    dequantize_array,
+    quantize_array,
+    quantize_stacked_layers,
+)
+
+
+def test_quantize_roundtrip_int8(rng):
+    w = rng.standard_normal((2, 64, 32)).astype(np.float32)
+    qd = quantize_array(jnp.asarray(w), bits=8)
+    back = np.asarray(dequantize_array(qd, jnp.float32))
+    # per-channel absmax int8: error <= absmax/127/2 per element
+    absmax = np.abs(w).max(axis=-2, keepdims=True)
+    assert np.all(np.abs(back - w) <= absmax / 127.0 * 0.51 + 1e-7)
+
+
+def test_quantize_roundtrip_int4(rng):
+    w = rng.standard_normal((2, 64, 32)).astype(np.float32)
+    qd = quantize_array(jnp.asarray(w), bits=4)
+    assert qd["qvalues_i4"].shape == (2, 32, 32)  # packed
+    back = np.asarray(dequantize_array(qd, jnp.float32))
+    absmax = np.abs(w).max(axis=-2, keepdims=True)
+    assert back.shape == w.shape
+    assert np.all(np.abs(back - w) <= absmax / 7.0 * 0.51 + 1e-6)
+
+
+def test_quantized_decoder_forward_close(rng):
+    cfg = phi3v_tiny_config(num_layers=2, hidden_size=64).decoder
+    params = jax.device_get(phi3.init_params(jax.random.PRNGKey(0), cfg))
+    qlayers = quantize_stacked_layers(
+        jax.tree_util.tree_map(jnp.asarray, params["layers"]), bits=8, min_size=0
+    )
+    B, S = 2, 10
+    ids = rng.integers(0, cfg.vocab_size, (B, S)).astype(np.int32)
+    mask = np.ones((B, S), np.int32)
+    pos = np.arange(S, dtype=np.int32)[None].repeat(B, 0)
+    embeds = params["embed_tokens"][ids]
+
+    out_fp = phi3.forward(
+        {**params, "layers": jax.tree_util.tree_map(jnp.asarray, params["layers"])},
+        cfg, jnp.asarray(embeds), jnp.asarray(mask), jnp.asarray(pos), attn_impl="xla",
+    ).last_hidden_state
+    out_q = phi3.forward(
+        {**params, "layers": qlayers},
+        cfg, jnp.asarray(embeds), jnp.asarray(mask), jnp.asarray(pos), attn_impl="xla",
+    ).last_hidden_state
+    # int8 weight-only: small relative error
+    rel = np.abs(np.asarray(out_q) - np.asarray(out_fp)) / (
+        np.abs(np.asarray(out_fp)) + 1e-3
+    )
+    assert np.median(rel) < 0.05
+
+
+def test_vision_lora_changes_output(rng):
+    from llava_reward_tpu.lora.lora import init_vision_lora
+
+    cfg = phi3v_tiny_config(vision_layers=2)
+    params = phi3v.init_params(jax.random.PRNGKey(0), cfg)
+    vlora = init_vision_lora(jax.random.PRNGKey(1), cfg.vision, rank=2, alpha=4)
+    # nonzero B so the delta is visible
+    vlora = jax.tree_util.tree_map(
+        lambda x: x + 0.05 if x.ndim == 3 else x, vlora
+    )
+    pix = jnp.asarray(
+        rng.standard_normal((1, cfg.vision.image_size, cfg.vision.image_size, 3)).astype(
+            np.float32
+        )
+    )
+    base = clip_vit.extract_patch_features(
+        params["vision"]["clip"], cfg.vision, pix, attn_impl="xla"
+    )
+    with_lora = clip_vit.extract_patch_features(
+        params["vision"]["clip"], cfg.vision, pix, attn_impl="xla", lora=vlora
+    )
+    assert not np.allclose(np.asarray(base), np.asarray(with_lora))
+    # zero-B lora is exactly the identity
+    vlora0 = init_vision_lora(jax.random.PRNGKey(1), cfg.vision, rank=2, alpha=4)
+    same = clip_vit.extract_patch_features(
+        params["vision"]["clip"], cfg.vision, pix, attn_impl="xla", lora=vlora0
+    )
+    np.testing.assert_allclose(np.asarray(base), np.asarray(same), rtol=1e-5, atol=1e-6)
+
+
+def test_vision_lora_trains(rng):
+    from llava_reward_tpu.lora.lora import init_vision_lora
+    from llava_reward_tpu.preprocess.collate import collate_samples, to_reward_batch
+    from llava_reward_tpu.preprocess.phi3v_processor import Phi3VProcessor
+    from llava_reward_tpu.reward import init_head_params
+    from llava_reward_tpu.train.optim import make_optimizer
+    from llava_reward_tpu.train.train_step import (
+        init_train_state,
+        make_pairwise_loss_fn,
+        make_train_step,
+    )
+
+    cfg = phi3v_tiny_config(num_crops=4, num_layers=2, vision_layers=2)
+    rcfg = RewardConfig(is_general_preference=False)
+    rcfg.layer_id = cfg.decoder.num_layers
+    frozen = {"backbone": phi3v.init_params(jax.random.PRNGKey(0), cfg)}
+    trainable = {
+        "head": init_head_params(jax.random.PRNGKey(1), cfg, rcfg),
+        "lora": None,
+        "projector": None,
+        "vision_lora": init_vision_lora(jax.random.PRNGKey(2), cfg.vision, 2, 4),
+    }
+
+    class Tok:
+        def __call__(self, text):
+            return {"input_ids": [hash(t) % 400 + 2 for t in text.split()]}
+
+    proc = Phi3VProcessor(Tok(), num_crops=4)
+    from PIL import Image
+
+    img = Image.fromarray((rng.random((80, 100, 3)) * 255).astype(np.uint8))
+    s1 = proc("<|image_1|> nice", [img])
+    s2 = proc("<|image_1|> bad", [img])
+    cb = to_reward_batch(collate_samples([s1], 700, 0))
+    rb = to_reward_batch(collate_samples([s2], 700, 0))
+
+    tx = make_optimizer(1e-2, 5, warmup_ratio=0.0)
+    loss_fn = make_pairwise_loss_fn(cfg, rcfg, attn_impl="xla", remat=False)
+    step = jax.jit(make_train_step(loss_fn, tx))
+    st = init_train_state(trainable, tx)
+    st, m = step(st, frozen, cb, rb)
+    # vision lora B received nonzero grads (A @ dB path)
+    b_after = np.asarray(st.trainable["vision_lora"]["q"]["b"])
+    assert np.abs(b_after).sum() > 0

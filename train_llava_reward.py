@@ -30,7 +30,7 @@ def train(args):
     from llava_reward_tpu.data.loader import PrefetchLoader
     from llava_reward_tpu.data.sampler import GroupSampler
     from llava_reward_tpu.io.torch_io import load_torch_state_dict
-    from llava_reward_tpu.lora.lora import init_lora
+    from llava_reward_tpu.lora.lora import init_lora, init_vision_lora
     from llava_reward_tpu.parallel.sharding import (
         create_mesh,
         shard_batch,
@@ -115,6 +115,18 @@ def train(args):
         tokenizer = _Tok()
 
     processor = family.make_processor(tokenizer, cfg)
+    if args.load_in_4bit:
+        # TPU-native weight-only int4 (the bitsandbytes NF4 stand-in,
+        # rw_model_general_preference.py:166-175)
+        from llava_reward_tpu.utils.quantize import quantize_stacked_layers
+
+        dec_key = "decoder" if "decoder" in backbone else "text"
+        backbone = dict(backbone)
+        backbone[dec_key] = dict(backbone[dec_key])
+        backbone[dec_key]["layers"] = quantize_stacked_layers(
+            backbone[dec_key]["layers"], bits=4
+        )
+        logger.info("frozen decoder weights quantized to int4 (weight-only)")
     frozen = {"backbone": backbone}
     trainable = {
         "head": init_head_params(jax.random.PRNGKey(1), cfg, rcfg, dtype=jnp.float32),
@@ -132,6 +144,14 @@ def train(args):
                 lambda x: x.astype(jnp.float32), family.get_projector(backbone)
             )
             if args.ft_projector
+            else None
+        ),
+        "vision_lora": (
+            init_vision_lora(
+                jax.random.PRNGKey(3), cfg.vision, args.lora_rank, args.lora_alpha
+            )
+            if args.train_vision and args.lora_rank > 0
+            and args.model_type in ("phi3v",)
             else None
         ),
     }
@@ -224,6 +244,7 @@ def train(args):
             lora_dropout=args.lora_dropout, wandb_logger=wandb_logger,
             mesh=mesh,
             shard_batch_fn=lambda b: shard_batch(b, mesh),
+            save_best_model=bool(args.save_best_model),
         )
         if args.load_checkpoint and os.path.isdir(
             os.path.join(args.ckpt_path, "train_state")
