@@ -36,15 +36,21 @@ class TrainState(NamedTuple):
     opt_state: Any
 
 
-def select_loss_name(rcfg: RewardConfig, cls_based: bool) -> str:
+def select_loss_name(
+    rcfg: RewardConfig, cls_based: bool, add_img_eos: bool = False
+) -> str:
+    """(rm_trainer…py:70-93). ``add_img_eos`` forces the dim-2 GPM product
+    even for high-dim heads (ref :84-86)."""
     if rcfg.is_general_preference:
-        if rcfg.value_head_dim == 2 and not rcfg.add_prompt_head:
+        if rcfg.value_head_dim == 2 and not rcfg.add_prompt_head and not add_img_eos:
             return "gpm"
         if rcfg.value_head_dim == 1:
             return "cls"
         assert rcfg.value_head_dim % 2 == 0, "GPM value head dim must be even"
         if rcfg.add_prompt_head:
             return "moe"
+        if add_img_eos:
+            return "gpm"
         return "high_dim_gpm"
     if cls_based:
         return "binary_cls"
@@ -74,6 +80,7 @@ def make_pairwise_loss_fn(
     add_pretrain_loss: bool = False,
     ptx_loss_coef: float = 0.1,
     reward_scaler_beta: float = 2.0,
+    add_img_eos: bool = False,
 ) -> Callable:
     """``add_pretrain_loss`` mixes the SFTSum ptx regulariser over the chosen
     sequence's LM logits (rm_trainer…py:178-208): loss = (1 - coef) *
@@ -81,7 +88,7 @@ def make_pairwise_loss_fn(
     The reference runs a THIRD full forward for ptx; here the logits come
     from the same stacked forward's chosen hidden states (one matmul more,
     one 4B-model forward less)."""
-    loss_name = select_loss_name(rcfg, cls_based)
+    loss_name = select_loss_name(rcfg, cls_based, add_img_eos)
     tau = rcfg.general_preference_tau
 
     def loss_fn(

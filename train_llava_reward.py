@@ -212,6 +212,7 @@ def train(args):
             add_pretrain_loss=args.add_pretrain_loss,
             ptx_loss_coef=args.ptx_loss_coef,
             reward_scaler_beta=args.reward_scaler_beta,
+            add_img_eos=args.add_img_eos,
         )
 
     # ---- shard over the mesh
