@@ -22,14 +22,26 @@ class Batch(dict):
     __getattr__ = dict.__getitem__
 
 
+CROP_BUCKETS = (5, 9, 13, 17)  # 1 global + {4, 8, 12, 16} crops
+
+
 def collate_samples(
     samples: Sequence[ProcessedSample],
     seq_len: int,
     pad_token_id: int,
     img_token_budget: Optional[int] = None,
+    crop_buckets: Optional[Sequence[int]] = CROP_BUCKETS,
 ) -> Batch:
     """Left-pad to ``seq_len`` (truncating from the right if too long, the
-    reference's truncation_side='right') and stack."""
+    reference's truncation_side='right') and stack.
+
+    Crop bucketing (phi3v / llava): the reference pads every image to
+    num_crops+1 crops (pad_to_max_num_crops_tensor, processing_phi3_v.py:
+    128-136), so a 2x2 image runs the CLIP tower on 12 zero crops. Here the
+    pixel batch shrinks to the smallest bucket >= the batch's real crop
+    count; gather indices are rebuilt against the bucketed bank layout.
+    A handful of buckets = a handful of compiled programs.
+    """
     B = len(samples)
     input_ids = np.full((B, seq_len), pad_token_id, dtype=np.int32)
     attention_mask = np.zeros((B, seq_len), dtype=np.int32)
@@ -46,7 +58,25 @@ def collate_samples(
             if img_token_budget is not None
             else ref.img_gather_idx.shape[0]
         )
-        pixel_values = np.zeros((B,) + ref.pixel_values.shape, dtype=np.float32)
+        full_nc = ref.pixel_values.shape[0]  # num_crops + 1
+        # bucketing only applies to phi3v HD crops (image_size is the padded
+        # HD size, a multiple of 336); llava anyres samples keep full tiles
+        is_phi3v = getattr(ref, "family", "phi3v") == "phi3v"
+        if crop_buckets and is_phi3v:
+            real = max(
+                (s.image_size[0] // 336) * (s.image_size[1] // 336) + 1
+                for s in samples
+                if s.pixel_values is not None
+            )
+            nc = min(
+                (b for b in crop_buckets if b >= real), default=full_nc
+            )
+            nc = min(nc, full_nc)
+        else:
+            nc = full_nc
+        pixel_values = np.zeros(
+            (B, nc) + ref.pixel_values.shape[1:], dtype=np.float32
+        )
         img_gather_idx = np.zeros((B, budget), dtype=np.int32)
         num_img_tokens = np.zeros((B,), dtype=np.int32)
 
@@ -57,8 +87,17 @@ def collate_samples(
         attention_mask[b, seq_len - n :] = s.attention_mask[:seq_len]
         splice_idx[b, seq_len - n :] = s.splice_idx[:seq_len]
         if has_image and s.pixel_values is not None:
-            pixel_values[b] = s.pixel_values
-            img_gather_idx[b] = s.img_gather_idx
+            pixel_values[b] = s.pixel_values[:nc]
+            if nc != full_nc:
+                # rebuild indices for the bucketed bank (stride = nc crops)
+                from .phi3v_processor import build_img_gather_idx
+
+                h, w = s.image_size
+                img_gather_idx[b] = build_img_gather_idx(
+                    h // 336, w // 336, nc - 1, budget
+                )
+            else:
+                img_gather_idx[b] = s.img_gather_idx
             num_img_tokens[b] = s.num_img_tokens
 
     return Batch(

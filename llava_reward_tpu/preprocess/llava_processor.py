@@ -181,6 +181,8 @@ def preprocess_image_anyres(
 
 @dataclass
 class LlavaProcessedSample:
+    family = "llava"  # anyres tiles: no phi3v crop-bucketing in the collator
+
     input_ids: np.ndarray
     attention_mask: np.ndarray
     splice_idx: np.ndarray

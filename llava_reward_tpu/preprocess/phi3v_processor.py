@@ -273,6 +273,8 @@ class ProcessedSample:
     """One (text, image) sample, unpadded; the collator left-pads to the
     static sequence length."""
 
+    family = "phi3v"  # collator crop-bucketing applies to HD crops only
+
     input_ids: np.ndarray  # (s,) int32, image positions hold 0
     attention_mask: np.ndarray  # (s,) int32 all ones (reference :449)
     splice_idx: np.ndarray  # (s,) int32, slot index or -1
