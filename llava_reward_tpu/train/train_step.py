@@ -59,8 +59,12 @@ def select_loss_name(
 
 def assemble_params(frozen: dict, trainable: dict):
     """Merge the trainable leaves back into a full forward tree.
-    Returns (params, lora, vision_lora)."""
-    backbone = frozen["backbone"]
+    Returns (params, lora, vision_lora).
+
+    Full fine-tuning (the reference's lora_rank=0 mode, consumed by the
+    _ft_phi eval harness): the ENTIRE backbone lives in ``trainable``
+    ('backbone' key) and ``frozen`` holds only auxiliaries like lm_head."""
+    backbone = trainable.get("backbone") or frozen["backbone"]
     if trainable.get("projector") is not None:
         backbone = dict(backbone)
         backbone["vision"] = dict(backbone["vision"])
@@ -138,7 +142,7 @@ def make_pairwise_loss_fn(
         metrics = {"preference_loss": loss, "prob": prob}
 
         if add_pretrain_loss:
-            lm_head = frozen["backbone"].get("lm_head")
+            lm_head = (trainable.get("backbone") or frozen["backbone"]).get("lm_head")
             if lm_head is None:
                 raise ValueError("--add_pretrain_loss needs lm_head weights")
             logits = chosen_last_hidden @ lm_head  # (B, S, V)

@@ -221,6 +221,35 @@ class RewardTrainer:
             lora_state=lora_state,
             lora_config=lora_config,
         )
+        if trainable.get("backbone") is not None:
+            # full fine-tuning: also export the whole backbone as an HF-layout
+            # checkpoint (save_model, deepspeed.py:277-332) alongside the
+            # head artifact, so the _ft_phi-style loaders work from one dir
+            from ..core.config import Phi3VConfig
+            from ..io.torch_io import save_torch_state_dict
+
+            if isinstance(self.cfg, Phi3VConfig):
+                from ..io.hf_phi3v import hf_state_dict_from_params
+
+                sd = hf_state_dict_from_params(trainable["backbone"], self.cfg)
+                frozen_bb = jax.device_get(self.frozen.get("backbone", {}))
+                if "lm_head" in frozen_bb:
+                    import numpy as _np
+
+                    sd["lm_head.weight"] = _np.ascontiguousarray(
+                        _np.asarray(frozen_bb["lm_head"]).T
+                    )
+                import torch
+
+                save_torch_state_dict(
+                    sd, os.path.join(path, "full_model", "pytorch_model.bin"),
+                    torch.bfloat16,
+                )
+                logger.info("saved full fine-tuned backbone to %s/full_model", path)
+            else:
+                logger.warning(
+                    "full-FT export only implemented for phi3v; backbone not saved"
+                )
         logger.info("saved reward artifact to %s", path)
 
     def clean_old_checkpoints(self):

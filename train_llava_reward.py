@@ -115,6 +115,11 @@ def train(args):
         tokenizer = _Tok()
 
     processor = family.make_processor(tokenizer, cfg)
+    # lora_rank == 0 means FULL fine-tuning in the reference (consumed by the
+    # _ft_phi eval harness); the whole backbone becomes trainable.
+    full_finetune = args.lora_rank == 0
+    if full_finetune and args.load_in_4bit:
+        raise ValueError("--load_in_4bit requires LoRA (frozen backbone)")
     if args.load_in_4bit:
         # TPU-native weight-only int4 (the bitsandbytes NF4 stand-in,
         # rw_model_general_preference.py:166-175)
@@ -127,8 +132,15 @@ def train(args):
             backbone[dec_key]["layers"], bits=4
         )
         logger.info("frozen decoder weights quantized to int4 (weight-only)")
-    frozen = {"backbone": backbone}
+    if full_finetune:
+        logger.info("lora_rank=0 -> full fine-tuning (backbone trainable)")
+        frozen = {"backbone": {k: backbone[k] for k in ("lm_head",) if k in backbone}}
+        train_backbone = {k: v for k, v in backbone.items() if k != "lm_head"}
+    else:
+        frozen = {"backbone": backbone}
+        train_backbone = None
     trainable = {
+        "backbone": train_backbone,
         "head": init_head_params(jax.random.PRNGKey(1), cfg, rcfg, dtype=jnp.float32),
         "lora": (
             init_lora(
