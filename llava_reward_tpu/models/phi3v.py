@@ -77,8 +77,8 @@ def vision_feature_bank(
     remat: bool = False,
     vision_lora: Optional[dict] = None,
 ) -> jnp.ndarray:
-    """Dense merged-feature bank (B, (num_crops+1)*merge_grid^2 + 2, 4C):
-    last two rows are sub_GN and glb_GN."""
+    """Dense merged-feature bank (B, 2 + NC*merge_grid^2, 4C): rows 0/1 are
+    sub_GN/glb_GN, then every crop's merged patches."""
     B, NC, Himg, Wimg, C = pixel_values.shape
     feats = clip_vit.extract_patch_features(
         params["vision"]["clip"],
@@ -95,7 +95,9 @@ def vision_feature_bank(
     gns = jnp.stack(
         [params["vision"]["sub_GN"], params["vision"]["glb_GN"]], axis=0
     ).astype(bank.dtype)
-    return jnp.concatenate([bank, jnp.broadcast_to(gns[None], (B, 2, D))], axis=1)
+    # sentinels FIRST: gather indices stay valid however many crop slots
+    # follow (crop-count bucketing, multi-image concatenation)
+    return jnp.concatenate([jnp.broadcast_to(gns[None], (B, 2, D)), bank], axis=1)
 
 
 class Phi3VOutput(NamedTuple):

@@ -56,13 +56,21 @@ def collate_samples(
         budget = (
             img_token_budget
             if img_token_budget is not None
-            else ref.img_gather_idx.shape[0]
+            else max(
+                s.img_gather_idx.shape[0]
+                for s in samples
+                if s.img_gather_idx is not None
+            )
         )
-        full_nc = ref.pixel_values.shape[0]  # num_crops + 1
-        # bucketing only applies to phi3v HD crops (image_size is the padded
-        # HD size, a multiple of 336); llava anyres samples keep full tiles
+        crop_counts = [
+            s.pixel_values.shape[0] for s in samples if s.pixel_values is not None
+        ]
+        full_nc = max(crop_counts)  # multi-image samples concatenate crops
+        # bucketing only applies to single-image phi3v HD crops (image_size
+        # is the padded HD size); llava anyres / multi-image keep full tiles
         is_phi3v = getattr(ref, "family", "phi3v") == "phi3v"
-        if crop_buckets and is_phi3v:
+        uniform_single = len(set(crop_counts)) == 1 and full_nc == ref.pixel_values.shape[0]
+        if crop_buckets and is_phi3v and uniform_single and full_nc in (17, *crop_buckets):
             real = max(
                 (s.image_size[0] // 336) * (s.image_size[1] // 336) + 1
                 for s in samples
@@ -87,8 +95,10 @@ def collate_samples(
         attention_mask[b, seq_len - n :] = s.attention_mask[:seq_len]
         splice_idx[b, seq_len - n :] = s.splice_idx[:seq_len]
         if has_image and s.pixel_values is not None:
-            pixel_values[b] = s.pixel_values[:nc]
-            if nc != full_nc:
+            pv = s.pixel_values[:nc]
+            pixel_values[b, : pv.shape[0]] = pv  # crop-dim zero-pad is safe:
+            # the bank's sentinel rows lead, so gather indices are invariant
+            if nc != full_nc and pv.shape[0] == nc:
                 # rebuild indices for the bucketed bank (stride = nc crops)
                 from .phi3v_processor import build_img_gather_idx
 
@@ -97,7 +107,8 @@ def collate_samples(
                     h // 336, w // 336, nc - 1, budget
                 )
             else:
-                img_gather_idx[b] = s.img_gather_idx
+                g = s.img_gather_idx[:budget]
+                img_gather_idx[b, : g.shape[0]] = g
             num_img_tokens[b] = s.num_img_tokens
 
     return Batch(

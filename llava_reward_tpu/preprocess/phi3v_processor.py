@@ -99,23 +99,24 @@ def build_img_gather_idx(
 ) -> np.ndarray:
     """Indices into the dense feature bank for one image's token sequence.
 
-    Bank layout (models/phi3v.py): crop c's merged patch (i, j) lives at
-    ``c*G^2 + i*G + j`` (G = merge_grid); row ``(num_crops+1)*G^2`` is
-    sub_GN, the next row is glb_GN. Ordering matches hd_feature_transform
+    Bank layout (models/phi3v.py): rows 0/1 are sub_GN/glb_GN; crop c's
+    merged patch (i, j) lives at ``2 + c*G^2 + i*G + j`` (G = merge_grid) —
+    sentinels lead so indices survive crop-count padding.
+    Ordering matches hd_feature_transform
     (modeling_phi3_v.py:254-303): sub crops row-major with a newline after
     each of the h_crop*G rows, then glb_GN, then the global crop (index 0)
     with its newlines.
     """
     G = merge_grid
     g2 = G * G
-    sub_gn = (num_crops + 1) * g2
-    glb_gn = sub_gn + 1
+    sub_gn, glb_gn = 0, 1  # sentinel rows lead the bank (models/phi3v.py)
+    base = 2
 
     # sub-image rows: R in [0, h_crop*G), columns [0, w_crop*G) + newline
     R = np.arange(h_crop * G)[:, None]
     Cc = np.arange(w_crop * G)[None, :]
     crop = 1 + (R // G) * w_crop + (Cc // G)
-    idx_grid = crop * g2 + (R % G) * G + (Cc % G)  # (h_crop*G, w_crop*G)
+    idx_grid = base + crop * g2 + (R % G) * G + (Cc % G)  # (h_crop*G, w_crop*G)
     rows = np.concatenate(
         [idx_grid, np.full((h_crop * G, 1), sub_gn, dtype=np.int64)], axis=1
     ).reshape(-1)
@@ -123,7 +124,7 @@ def build_img_gather_idx(
     # global crop grid + newlines
     gi = np.arange(G)[:, None]
     gj = np.arange(G)[None, :]
-    glb_grid = 0 * g2 + gi * G + gj
+    glb_grid = base + 0 * g2 + gi * G + gj
     glb_rows = np.concatenate(
         [glb_grid, np.full((G, 1), sub_gn, dtype=np.int64)], axis=1
     ).reshape(-1)
@@ -327,46 +328,61 @@ class Phi3VProcessor:
                 num_img_tokens=0,
                 image_size=(0, 0),
             )
-        if len(images) != 1:
-            raise NotImplementedError(
-                "v1 supports one image per sample (all reference dataset paths "
-                "use <|image_1|> only, reward_dataset.py:84-134)"
-            )
-
-        tags = IMAGE_TAG_PATTERN.findall(text)
-        unique = sorted(set(int(t) for t in tags))
+        # tag validation matches _convert_images_texts_to_inputs
+        # (processing_phi3_v.py:426-437): ids 1..n contiguous, one per image
+        split = IMAGE_TAG_PATTERN.split(text)
+        text_chunks = [self._tokenize(c) for c in split[0::2]]
+        tag_ids = [int(t) for t in split[1::2]]
+        unique = sorted(set(tag_ids))
         if unique != list(range(1, len(unique) + 1)):
             raise ValueError(f"image ids must be 1..n, got {unique}")
         if len(unique) != len(images):
-            raise ValueError(
-                f"{len(unique)} image tags but {len(images)} images"
-            )
+            raise ValueError(f"{len(unique)} image tags but {len(images)} images")
 
-        pixel_values, (h, w), n_img = preprocess_image(images[0], self.num_crops)
-        gather_idx = build_img_gather_idx(
-            h // 336, w // 336, self.num_crops, self.img_token_budget
-        ).astype(np.int32)
-
-        # re.split with a capturing group interleaves [text, tag_num, text, ...]
-        text_chunks = [self._tokenize(c) for c in IMAGE_TAG_PATTERN.split(text)[0::2]]
+        # Multi-image: the feature bank concatenates every image's crops after
+        # the leading GN sentinel rows, so image i's crop c lives at rows
+        # 2 + (i*(num_crops+1) + c)*144 ...
+        per_img = [preprocess_image(im, self.num_crops) for im in images]
+        pixel_values = np.concatenate([p[0] for p in per_img], axis=0)
+        grid2 = 144  # merge_grid^2
+        crops1 = self.num_crops + 1
 
         ids: List[int] = []
         splice: List[int] = []
+        gather: List[np.ndarray] = []
+        slot = 0
         for i, chunk in enumerate(text_chunks):
             ids.extend(chunk)
             splice.extend([-1] * len(chunk))
-            if i < len(text_chunks) - 1:  # an image tag followed this chunk
-                ids.extend([0] * n_img)
-                splice.extend(range(n_img))
+            if i >= len(tag_ids):
+                continue
+            img_i = tag_ids[i] - 1
+            _, (h, w), n_tok = per_img[img_i]
+            idx = build_img_gather_idx(
+                h // 336, w // 336, self.num_crops, budget=n_tok
+            ).astype(np.int64)
+            # shift crop rows (idx >= 2) to this image's bank region
+            idx = np.where(idx >= 2, idx + img_i * crops1 * grid2, idx)
+            gather.append(idx)
+            ids.extend([0] * n_tok)
+            splice.extend(range(slot, slot + n_tok))
+            slot += n_tok
 
+        budget = max(self.img_token_budget, slot) if len(images) == 1 else slot
+        gather_idx = np.zeros((budget,), dtype=np.int32)  # pad -> sub_GN row 0
+        if gather:
+            cat = np.concatenate(gather)
+            gather_idx[: len(cat)] = cat.astype(np.int32)
+
+        h0, w0 = per_img[0][1]
         return ProcessedSample(
             input_ids=np.asarray(ids, dtype=np.int32),
             attention_mask=np.ones((len(ids),), dtype=np.int32),
             splice_idx=np.asarray(splice, dtype=np.int32),
             pixel_values=pixel_values,
             img_gather_idx=gather_idx,
-            num_img_tokens=n_img,
-            image_size=(h, w),
+            num_img_tokens=slot,
+            image_size=(h0, w0),
         )
 
 

@@ -141,10 +141,10 @@ def test_hd_merge_and_gather_ordering():
     sub_nl = add_newline(sub)[0]
     ref = torch.cat([sub_nl, torch.from_numpy(glb_gn)[None], glb_nl]).numpy()
 
-    # --- ours: merge each crop independently, build bank, gather
+    # --- ours: merge each crop independently, build bank (sentinels first), gather
     merged = np.asarray(phi3v.merge_2x2(jnp.asarray(feats), grid))  # (N, G*G, 4C)
     bank = np.concatenate(
-        [merged.reshape(-1, 4 * C), sub_gn[None], glb_gn[None]], axis=0
+        [sub_gn[None], glb_gn[None], merged.reshape(-1, 4 * C)], axis=0
     )
     n_tok = h_crop * G * (w_crop * G + 1) + 1 + G * (G + 1)
     idx = build_img_gather_idx(
