@@ -6,7 +6,7 @@ GPU/DeepSpeed-only flags are ACCEPTED and mapped or warned-as-ignored:
   --zero_stage/--zpg     -> FSDP mesh axes (kept for script compat)
   --flash_attn           -> Pallas kernel (on by default on TPU)
   --adam_offload         -> host optimizer-state offload
-  --load_in_4bit         -> not yet supported (warn)
+  --load_in_4bit         -> int4 weight-only quantization (utils/quantize)
   --local_rank           -> meaningless under SPMD (ignored)
 """
 

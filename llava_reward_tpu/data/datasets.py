@@ -15,14 +15,13 @@ workers; our loader.py overlaps it with device compute).
 
 from __future__ import annotations
 
-import bisect
 import json
 import os
-from typing import Any, Callable, Dict, List, Optional, Sequence, Tuple
+from typing import List, Optional, Sequence, Tuple
 
 import numpy as np
 
-from ..preprocess.collate import Batch, collate_samples
+from ..preprocess.collate import collate_samples
 from ..preprocess.phi3v_processor import Phi3VProcessor, apply_phi3v_chat_template
 
 

@@ -15,9 +15,6 @@ import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Iterable, Iterator, Optional
 
-import numpy as np
-
-
 class PrefetchLoader:
     def __init__(
         self,

@@ -21,13 +21,12 @@ reward_adaptor_loader.py:44-45):
 from __future__ import annotations
 
 import math
-from typing import Dict, Optional, Sequence
+from typing import Dict, Sequence
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
-from ..core.config import DecoderConfig
 
 DEFAULT_TARGETS = ("qkv_proj", "o_proj", "gate_up_proj", "down_proj")
 # Qwen targets (create_lora_config_qwen, utils/utils.py:223-242): per-layer

@@ -10,7 +10,6 @@ between the projections and the kernel.
 
 from __future__ import annotations
 
-import functools
 from typing import Optional
 
 import jax

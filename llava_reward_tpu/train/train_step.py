@@ -17,7 +17,6 @@ Loss selection mirrors the trainer's tree (rm_trainer…py:70-93):
 
 from __future__ import annotations
 
-import functools
 from typing import Any, Callable, NamedTuple, Optional, Tuple
 
 import jax
