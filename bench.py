@@ -14,7 +14,10 @@ batch~4) derived from its per-pair compute (~55 TFLOP: 2*4.2e9*2560*2 seqs
 available (BASELINE.md records none — the repo publishes no benchmarks).
 
 Env knobs: BENCH_BATCH (pairs, default 4), BENCH_STEPS (default 8),
-BENCH_SEQ (default 2560), BENCH_TINY=1 for a smoke run on CPU.
+BENCH_SEQ (default 2560), BENCH_TINY=1 for a smoke run on CPU,
+BENCH_E2E=1 for the end-to-end pipeline (image decode + HD preprocessing
+overlapped with device compute via the prefetch loader — the
+batch_inference_rm_phi.py-equivalent measurement).
 """
 
 import json
@@ -24,6 +27,96 @@ import time
 import numpy as np
 
 BASELINE_PAIRS_PER_SEC = 2.0
+
+
+def e2e_main():
+    """Synthetic-image end-to-end eval throughput: host pipeline (native C++
+    decode+HD when built) overlapped with the jitted forward."""
+    import io
+
+    import jax
+    import jax.numpy as jnp
+    from PIL import Image
+
+    from llava_reward_tpu.core.config import (
+        RewardConfig,
+        phi35_vision_config,
+        phi3v_tiny_config,
+    )
+    from llava_reward_tpu.evalx.adaptor import RewardAdaptor
+    from llava_reward_tpu.evalx.batch_inference import batch_rm_inference
+    from llava_reward_tpu.models import phi3v
+    from llava_reward_tpu.preprocess.phi3v_processor import Phi3VProcessor
+    from llava_reward_tpu.reward import init_head_params
+
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    pairs = int(os.environ.get("BENCH_BATCH", "2" if tiny else "4"))
+    n_pairs = int(os.environ.get("BENCH_SAMPLES", "8" if tiny else "32"))
+    seq = int(os.environ.get("BENCH_SEQ", "512" if tiny else "2944"))
+
+    cfg = phi3v_tiny_config(num_crops=4) if tiny else phi35_vision_config()
+    rcfg = RewardConfig(
+        is_general_preference=True, value_head_dim=2, add_cross_attention=True,
+        layer_id=cfg.decoder.num_layers,
+    )
+    dtype = jnp.float32 if tiny else jnp.bfloat16
+    params = {
+        "backbone": phi3v.init_params(jax.random.PRNGKey(0), cfg, dtype=dtype),
+        "head": init_head_params(jax.random.PRNGKey(1), cfg, rcfg, dtype=dtype),
+    }
+    adaptor = RewardAdaptor(cfg=cfg, rcfg=rcfg, params=params, model_type="phi3v")
+
+    class Tok:
+        eos_token = "</s>"
+
+        def __call__(self, text):
+            return {"input_ids": [hash(t) % 30000 + 5 for t in text.split()]}
+
+        def apply_chat_template(self, msgs, tokenize=False, add_generation_prompt=True):
+            return "".join(m["content"] for m in msgs) + " " + "x" * 22
+
+    tok = Tok()
+    proc = Phi3VProcessor(tok, num_crops=cfg.num_crops)
+
+    # synthetic jpegs on disk (realistic decode work)
+    import tempfile
+
+    rng = np.random.default_rng(0)
+    tmp = tempfile.mkdtemp()
+    rows = []
+    for i in range(n_pairs):
+        for side in ("c", "r"):
+            # one image shape -> one crop bucket -> one compiled program
+            arr = (rng.random((768, 1024, 3)) * 255).astype(np.uint8)
+            Image.fromarray(arr).save(f"{tmp}/{i}{side}.jpg", quality=90)
+        rows.append(
+            {
+                "prompt": f"a richly detailed scene number {i}",
+                "chosen_path": f"{i}c.jpg",
+                "reject_path": f"{i}r.jpg",
+                "c_rate": 1.0,
+                "r_rate": 0.0,
+            }
+        )
+    # warm the compile with the first batch, then measure the full pass
+    t0 = time.perf_counter()
+    metrics = batch_rm_inference(
+        adaptor, rows, tok, proc, batch_size=pairs, seq_len=seq,
+        image_root=tmp, num_workers=int(os.environ.get("BENCH_WORKERS", "8")),
+        progress=False,
+    )
+    dt = time.perf_counter() - t0
+    value = len(rows) / dt
+    print(
+        json.dumps(
+            {
+                "metric": "phi35v_e2e_eval_pairs_per_sec_per_chip",
+                "value": round(value, 4),
+                "unit": "pairs/s/chip",
+                "vs_baseline": round(value / BASELINE_PAIRS_PER_SEC, 4),
+            }
+        )
+    )
 
 
 def main():
@@ -130,4 +223,7 @@ def main():
 
 
 if __name__ == "__main__":
-    main()
+    if os.environ.get("BENCH_E2E") == "1":
+        e2e_main()
+    else:
+        main()

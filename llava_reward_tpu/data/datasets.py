@@ -169,8 +169,13 @@ class PairwiseRewardDataset:
         return os.path.join(self.image_root, p) if self.image_root else p
 
     def _open(self, p):
-        # fast path: hand raw bytes to the native fused decode+HD pipeline
-        if getattr(self.processor, "accepts_bytes", False):
+        # Native fused decode+HD pipeline is OPT-IN (LRT_NATIVE_IMG=1): the
+        # current scalar C++ resampler loses to PIL's SIMD fixed-point path
+        # on a single core (measured 551 vs 72 ms for a 768x1024 HD
+        # transform); it wins only for many-image batch decode fan-out.
+        if os.environ.get("LRT_NATIVE_IMG") == "1" and getattr(
+            self.processor, "accepts_bytes", False
+        ):
             from ..preprocess import native
 
             if native.native_available():

@@ -87,6 +87,19 @@ def batch_rm_inference(
                     elif name == "position_ids":  # (3, B, S): batch axis 1
                         fields[name] = np.concatenate([a, b], axis=1)
                     else:
+                        if (
+                            name == "pixel_values"
+                            and a.ndim == 5
+                            and a.shape[1] != b.shape[1]
+                        ):
+                            # chosen/rejected fell into different crop
+                            # buckets; zero-pad the smaller (the bank's
+                            # leading sentinel rows keep indices valid)
+                            nc = max(a.shape[1], b.shape[1])
+                            pad = lambda x: np.pad(
+                                x, [(0, 0), (0, nc - x.shape[1])] + [(0, 0)] * 3
+                            )
+                            a, b = pad(a), pad(b)
                         fields[name] = np.concatenate([a, b], axis=0)
                 stacked = type(cb)(**fields)
                 r = np.asarray(score(params, stacked))
