@@ -57,13 +57,28 @@ def batch_rm_inference(
     ds = ds_cls(rows, processor, tokenizer, image_root)
 
     sampler = DistributedSampler(len(ds), shuffle=False)
+
+    def _device_put(batch):
+        # move pixel tensors to HBM from the prefetch thread so transfer
+        # overlaps the previous batch's compute
+        if pairwise:
+            chosen, rejected, c_rate, r_rate = batch
+            return (
+                jax.device_put(dict(chosen)),
+                jax.device_put(dict(rejected)),
+                c_rate,
+                r_rate,
+            )
+        b, y = batch
+        return jax.device_put(dict(b)), y
+
     loader = PrefetchLoader(
         ds,
         sampler,
         batch_size,
         collate_fn=lambda items: ds.collate(items, seq_len, pad_id),
         num_workers=num_workers,
-        device_put=None,
+        device_put=_device_put,
         drop_last=False,
     )
 
@@ -85,7 +100,7 @@ def batch_rm_inference(
                     if a is None:
                         fields[name] = None
                     elif name == "position_ids":  # (3, B, S): batch axis 1
-                        fields[name] = np.concatenate([a, b], axis=1)
+                        fields[name] = jnp.concatenate([a, b], axis=1)
                     else:
                         if (
                             name == "pixel_values"
@@ -96,11 +111,11 @@ def batch_rm_inference(
                             # buckets; zero-pad the smaller (the bank's
                             # leading sentinel rows keep indices valid)
                             nc = max(a.shape[1], b.shape[1])
-                            pad = lambda x: np.pad(
+                            pad = lambda x: jnp.pad(
                                 x, [(0, 0), (0, nc - x.shape[1])] + [(0, 0)] * 3
                             )
                             a, b = pad(a), pad(b)
-                        fields[name] = np.concatenate([a, b], axis=0)
+                        fields[name] = jnp.concatenate([a, b], axis=0)
                 stacked = type(cb)(**fields)
                 r = np.asarray(score(params, stacked))
                 n = len(c_rate)

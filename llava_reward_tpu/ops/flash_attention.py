@@ -49,14 +49,14 @@ def _fa_kernel(
     b = pl.program_id(0)
     qi = pl.program_id(2)
 
-    q = q_ref[0, 0]  # (Bq, D)
+    q = q_ref[0, 0]  # (n_rep*Bq, D): GQA reps stacked in Bq-row chunks
     k = k_ref[0, 0]  # (S, D)
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (Bq, S)
+    ) * scale  # (n_rep*Bq, S)
 
     row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
-    q_pos = qi * block_q + row
+    q_pos = qi * block_q + (row % block_q)  # rep-invariant positions
     k_pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
 
     mask = k_pos < q_len  # right-pad tail from block rounding
@@ -93,23 +93,27 @@ def _flash_fwd(
     scale: float,
     block_q: Optional[int] = None,
 ) -> jnp.ndarray:
+    """GQA runs natively: q is laid out rep-interleaved per block so ONE
+    K/V residency per kv head serves all its query reps (n_rep x less KV
+    DMA for e.g. Qwen's 28q/4kv heads)."""
     B, S, H, D = q.shape
-    assert k.shape[2] == H, "GQA expanded in the wrapper"
+    Hk = k.shape[2]
+    n_rep = H // Hk
 
     D_pad = _round_up(D, 128)
     if block_q is None:
         # Fit the VMEM budget (~16MB/core): K + V resident (2 * S * D_pad *
         # itemsize, double-buffered by the pipeline) + fp32 score tile
-        # (block_q * S * 4) + q/out tiles. Solve for block_q, clamp to
-        # [64, 512] in VPU-friendly multiples.
+        # (n_rep * block_q * S * 4) + q/out tiles. Solve for block_q, clamp
+        # to [64, 512] in VPU-friendly multiples.
         S_est = _round_up(S, 64)
         kv_bytes = 2 * 2 * S_est * D_pad * q.dtype.itemsize  # K+V, 2 buffers
         budget = 14 * 1024 * 1024
         avail = max(budget - kv_bytes, 2 * 1024 * 1024)
         # fp32 scores tile ~1.5x for fused exp temporaries; 512 measured ~4%
         # faster than 256/384 on v5e at S=2560
-        block_q = int(avail // int(4 * S_est * 1.5))
-        block_q = max(64, min(512, (block_q // 128) * 128))
+        block_q = int(avail // int(4 * S_est * 1.5 * n_rep))
+        block_q = max(64, min(512, (block_q // 64) * 64))
     S_pad = _round_up(S, block_q)
     if D_pad != D:
         pad = [(0, 0), (0, 0), (0, 0), (0, D_pad - D)]
@@ -118,12 +122,15 @@ def _flash_fwd(
         pad = [(0, 0), (0, S_pad - S), (0, 0), (0, 0)]
         q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
 
-    qt = q.transpose(0, 2, 1, 3)  # (B, H, S_pad, D)
-    kt = k.transpose(0, 2, 1, 3)
+    nq = S_pad // block_q
+    # (B, Hk, nq, n_rep, block_q, D): each grid step's q block holds all the
+    # reps of one kv head for one block of positions
+    qt = q.transpose(0, 2, 1, 3).reshape(B, Hk, n_rep, nq, block_q, D_pad)
+    qt = qt.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hk, nq * n_rep * block_q, D_pad)
+    kt = k.transpose(0, 2, 1, 3)  # (B, Hk, S_pad, D)
     vt = v.transpose(0, 2, 1, 3)
 
-    nq = S_pad // block_q
-    grid = (B, H, nq)
+    grid = (B, Hk, nq)
 
     kernel = functools.partial(
         _fa_kernel,
@@ -143,7 +150,7 @@ def _flash_fwd(
             grid=grid,
             in_specs=[
                 pl.BlockSpec(
-                    (1, 1, block_q, D_pad),
+                    (1, 1, n_rep * block_q, D_pad),
                     lambda b, h, qi, *prefetch: (b, h, qi, 0),
                     memory_space=pltpu.VMEM,
                 ),
@@ -159,12 +166,12 @@ def _flash_fwd(
                 ),
             ],
             out_specs=pl.BlockSpec(
-                (1, 1, block_q, D_pad),
+                (1, 1, n_rep * block_q, D_pad),
                 lambda b, h, qi, *prefetch: (b, h, qi, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H, S_pad, D_pad), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hk, nq * n_rep * block_q, D_pad), q.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * S_pad * S_pad * D_pad,
             bytes_accessed=(qt.size + kt.size + vt.size) * qt.dtype.itemsize,
@@ -172,7 +179,9 @@ def _flash_fwd(
         ),
     )(kv_start.astype(jnp.int32), qt, kt, vt)
 
-    # back to (B, S, H, D)
+    # undo the rep-interleaved block layout -> (B, S, H, D)
+    out = out.reshape(B, Hk, nq, n_rep, block_q, D_pad)
+    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hk * n_rep, S_pad, D_pad)
     out = out.transpose(0, 2, 1, 3)
     return out[:, :S, :, :D]
 
@@ -232,10 +241,4 @@ def flash_attention(
         )  # number of left pads == first valid index
     if sliding_window is not None and sliding_window >= S:
         sliding_window = None
-    n_rep = H // k.shape[2]
-    if n_rep > 1:
-        # GQA: expand kv heads for now; a shared-KV grid (one K/V load per
-        # kv head serving all reps) lands with the Qwen backbone work
-        k = jnp.repeat(k, n_rep, axis=2)
-        v = jnp.repeat(v, n_rep, axis=2)
     return _flash_attention_core(q, k, v, kv_start, causal, sliding_window, scale)
