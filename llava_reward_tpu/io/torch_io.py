@@ -66,7 +66,8 @@ def save_torch_state_dict(sd: Dict[str, np.ndarray], path: str, dtype=None) -> N
 
     out = {}
     for k, v in sd.items():
-        t = torch.from_numpy(np.asarray(v))
+        # copy: jax buffers are read-only and torch wants writable memory
+        t = torch.from_numpy(np.array(v, copy=True))
         if dtype is not None:
             t = t.to(dtype)
         out[k] = t

@@ -209,7 +209,8 @@ class RewardTrainer:
         lora_state = None
         lora_config = None
         if trainable.get("lora") is not None and self.lora_rank > 0:
-            lora_state = stacked_to_peft_state(trainable["lora"], self.cfg.decoder)
+            dec_cfg = getattr(self.cfg, "decoder", None) or self.cfg.text
+            lora_state = stacked_to_peft_state(trainable["lora"], dec_cfg)
             lora_config = peft_adapter_config(
                 self.lora_rank, self.lora_alpha, self.lora_dropout
             )

@@ -110,7 +110,7 @@ def train(args):
                         for p in c
                     )
 
-                return "x" * 58 + " ".join(flat(m["content"]) for m in msgs) + " " + "x" * 22
+                return "x" * 58 + " " + " ".join(flat(m["content"]) for m in msgs) + " " + "x" * 22
 
         tokenizer = _Tok()
 
