@@ -169,11 +169,10 @@ class PairwiseRewardDataset:
         return os.path.join(self.image_root, p) if self.image_root else p
 
     def _open(self, p):
-        # Native fused decode+HD pipeline is OPT-IN (LRT_NATIVE_IMG=1): the
-        # current scalar C++ resampler loses to PIL's SIMD fixed-point path
-        # on a single core (measured 551 vs 72 ms for a 768x1024 HD
-        # transform); it wins only for many-image batch decode fan-out.
-        if os.environ.get("LRT_NATIVE_IMG") == "1" and getattr(
+        # Native fused decode+HD+normalise pipeline (71 vs 83 ms/image
+        # against the PIL path after the float/vertical-first resampler
+        # rework, and thread-pools across images). LRT_NATIVE_IMG=0 opts out.
+        if os.environ.get("LRT_NATIVE_IMG", "1") != "0" and getattr(
             self.processor, "accepts_bytes", False
         ):
             from ..preprocess import native

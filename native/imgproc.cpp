@@ -156,7 +156,7 @@ static double cubic_filter(double x) {  // Pillow BICUBIC: a = -0.5
 
 struct Coeffs {
   std::vector<int> bounds;     // 2 per output pixel: (xmin, xmax)
-  std::vector<double> k;       // ksize per output pixel
+  std::vector<float> k;        // ksize per output pixel
   int ksize;
 };
 
@@ -176,14 +176,15 @@ static Coeffs precompute(int in_size, int out_size, const Filter& f) {
     int xmin = static_cast<int>(std::max(0.0, center - support + 0.5));
     int xmax = static_cast<int>(std::min(static_cast<double>(in_size), center + support + 0.5));
     xmax -= xmin;
-    double* kp = &c.k[static_cast<size_t>(xx) * ksize];
+    float* kp = &c.k[static_cast<size_t>(xx) * ksize];
+    std::vector<double> tmpw(xmax);
     for (int x = 0; x < xmax; ++x) {
       double w = f.fn((x + xmin - center + 0.5) * ss);
-      kp[x] = w;
+      tmpw[x] = w;
       ww += w;
     }
-    if (ww != 0.0)
-      for (int x = 0; x < xmax; ++x) kp[x] /= ww;
+    for (int x = 0; x < xmax; ++x)
+      kp[x] = static_cast<float>(tmpw[x] / (ww != 0.0 ? ww : 1.0));
     c.bounds[xx * 2] = xmin;
     c.bounds[xx * 2 + 1] = xmax;
   }
@@ -198,36 +199,44 @@ int lrt_resize_rgb8_f32(const uint8_t* src, int32_t h, int32_t w,
   Coeffs cx = precompute(w, out_w, f);
   Coeffs cy = precompute(h, out_h, f);
 
-  // horizontal pass: (h, w, 3) u8 -> (h, out_w, 3) float
-  std::vector<float> tmp(static_cast<size_t>(h) * out_w * 3);
-  for (int y = 0; y < h; ++y) {
-    const uint8_t* row = src + static_cast<size_t>(y) * w * 3;
-    float* orow = tmp.data() + static_cast<size_t>(y) * out_w * 3;
-    for (int xx = 0; xx < out_w; ++xx) {
-      int xmin = cx.bounds[xx * 2], xmax = cx.bounds[xx * 2 + 1];
-      const double* kp = &cx.k[static_cast<size_t>(xx) * cx.ksize];
-      double acc[3] = {0, 0, 0};
-      for (int x = 0; x < xmax; ++x) {
-        const uint8_t* px = row + static_cast<size_t>(xmin + x) * 3;
-        acc[0] += px[0] * kp[x];
-        acc[1] += px[1] * kp[x];
-        acc[2] += px[2] * kp[x];
-      }
-      orow[xx * 3 + 0] = static_cast<float>(acc[0]);
-      orow[xx * 3 + 1] = static_cast<float>(acc[1]);
-      orow[xx * 3 + 2] = static_cast<float>(acc[2]);
-    }
-  }
-  // vertical pass
+  // vertical-first: (h, w, 3) u8 -> (out_h, w, 3) float, contiguous rows
+  // vectorise cleanly; then horizontal on short rows
+  std::vector<float> tmp(static_cast<size_t>(out_h) * w * 3);
+  const int W3 = w * 3;
   for (int yy = 0; yy < out_h; ++yy) {
     int ymin = cy.bounds[yy * 2], ymax = cy.bounds[yy * 2 + 1];
-    const double* kp = &cy.k[static_cast<size_t>(yy) * cy.ksize];
-    float* orow = dst + static_cast<size_t>(yy) * out_w * 3;
-    for (int xx = 0; xx < out_w * 3; ++xx) {
-      double acc = 0;
-      for (int y = 0; y < ymax; ++y)
-        acc += tmp[static_cast<size_t>(ymin + y) * out_w * 3 + xx] * kp[y];
-      orow[xx] = static_cast<float>(acc);
+    const float* kp = &cy.k[static_cast<size_t>(yy) * cy.ksize];
+    float* __restrict orow = tmp.data() + static_cast<size_t>(yy) * W3;
+    const uint8_t* __restrict r0 = src + static_cast<size_t>(ymin) * W3;
+    {
+      const float k0 = kp[0];
+      for (int x = 0; x < W3; ++x) orow[x] = r0[x] * k0;
+    }
+    for (int y = 1; y < ymax; ++y) {
+      const uint8_t* __restrict row = src + static_cast<size_t>(ymin + y) * W3;
+      const float ky = kp[y];
+      for (int x = 0; x < W3; ++x) orow[x] += row[x] * ky;
+    }
+  }
+  // horizontal pass
+  for (int yy = 0; yy < out_h; ++yy) {
+    const float* __restrict irow = tmp.data() + static_cast<size_t>(yy) * W3;
+    float* __restrict orow = dst + static_cast<size_t>(yy) * out_w * 3;
+    for (int xx = 0; xx < out_w; ++xx) {
+      int xmin = cx.bounds[xx * 2], xmax = cx.bounds[xx * 2 + 1];
+      const float* kp = &cx.k[static_cast<size_t>(xx) * cx.ksize];
+      float a0 = 0, a1 = 0, a2 = 0;
+      const float* px = irow + static_cast<size_t>(xmin) * 3;
+      for (int x = 0; x < xmax; ++x) {
+        const float kx = kp[x];
+        a0 += px[0] * kx;
+        a1 += px[1] * kx;
+        a2 += px[2] * kx;
+        px += 3;
+      }
+      orow[xx * 3 + 0] = a0;
+      orow[xx * 3 + 1] = a1;
+      orow[xx * 3 + 2] = a2;
     }
   }
   return 0;
@@ -265,35 +274,48 @@ int lrt_phi3v_hd_normalize(const uint8_t* src, int32_t h, int32_t w,
   lrt_resize_rgb8_f32(img, ih, iw, resized.data(), new_h, new_w, /*bilinear*/ 0);
 
   int top = (pad_h - new_h) / 2;
-  // build padded landscape image then (maybe) transpose back while normalising
-  auto norm = [&](float v, int ch) { return (v / 255.0f - mean[ch]) / std_[ch]; };
+  // normalise as a fused multiply-add: (v/255 - mean)/std = v*scale + bias
+  float nscale[3], nbias[3], white[3];
+  for (int ch = 0; ch < 3; ++ch) {
+    nscale[ch] = 1.0f / (255.0f * std_[ch]);
+    nbias[ch] = -mean[ch] / std_[ch];
+    white[ch] = 255.0f * nscale[ch] + nbias[ch];
+  }
   if (!transposed) {
     for (int y = 0; y < pad_h; ++y) {
-      float* orow = dst + static_cast<size_t>(y) * new_w * 3;
+      float* __restrict orow = dst + static_cast<size_t>(y) * new_w * 3;
       if (y < top || y >= top + new_h) {
-        for (int x = 0; x < new_w; ++x)
-          for (int ch = 0; ch < 3; ++ch) orow[x * 3 + ch] = norm(255.0f, ch);
+        for (int x = 0; x < new_w; ++x) {
+          orow[x * 3 + 0] = white[0];
+          orow[x * 3 + 1] = white[1];
+          orow[x * 3 + 2] = white[2];
+        }
       } else {
-        const float* irow = resized.data() + static_cast<size_t>(y - top) * new_w * 3;
-        for (int x = 0; x < new_w; ++x)
-          for (int ch = 0; ch < 3; ++ch)
-            orow[x * 3 + ch] = norm(irow[x * 3 + ch], ch);
+        const float* __restrict irow =
+            resized.data() + static_cast<size_t>(y - top) * new_w * 3;
+        for (int x = 0; x < new_w; ++x) {
+          orow[x * 3 + 0] = irow[x * 3 + 0] * nscale[0] + nbias[0];
+          orow[x * 3 + 1] = irow[x * 3 + 1] * nscale[1] + nbias[1];
+          orow[x * 3 + 2] = irow[x * 3 + 2] * nscale[2] + nbias[2];
+        }
       }
     }
   } else {
-    // final shape is (new_w, pad_h, 3): transpose back
-    for (int y = 0; y < pad_h; ++y) {
-      for (int x = 0; x < new_w; ++x) {
-        float px[3];
+    // final shape is (new_w, pad_h, 3): transpose back, row-major writes
+    for (int x = 0; x < new_w; ++x) {
+      float* __restrict o = dst + static_cast<size_t>(x) * pad_h * 3;
+      for (int y = 0; y < pad_h; ++y) {
         if (y < top || y >= top + new_h) {
-          px[0] = px[1] = px[2] = 255.0f;
+          o[y * 3 + 0] = white[0];
+          o[y * 3 + 1] = white[1];
+          o[y * 3 + 2] = white[2];
         } else {
           const float* p = resized.data() +
                            (static_cast<size_t>(y - top) * new_w + x) * 3;
-          px[0] = p[0]; px[1] = p[1]; px[2] = p[2];
+          o[y * 3 + 0] = p[0] * nscale[0] + nbias[0];
+          o[y * 3 + 1] = p[1] * nscale[1] + nbias[1];
+          o[y * 3 + 2] = p[2] * nscale[2] + nbias[2];
         }
-        float* o = dst + (static_cast<size_t>(x) * pad_h + y) * 3;
-        for (int ch = 0; ch < 3; ++ch) o[ch] = norm(px[ch], ch);
       }
     }
   }
