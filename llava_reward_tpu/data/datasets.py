@@ -55,6 +55,7 @@ def blending_datasets(
     return_eval: bool = True,
     train_split: str = "train",
     eval_split: str = "test",
+    train_split_ratio: float = 1.0,
 ) -> Tuple[List[dict], List[dict]]:
     """Load + probability-interleave multiple datasets
     (utils/utils.py:120-192). ``names`` is comma-separated paths/hub ids;
@@ -115,6 +116,9 @@ def blending_datasets(
     train = out
     if not return_eval:
         return train, []
+    if train_split_ratio < 1.0:  # --train_split_ratio
+        n_train = max(1, int(len(train) * train_split_ratio))
+        return train[:n_train], train[n_train:]
     n_eval = max(1, min(len(train) // 20, 1000))
     return train[:-n_eval] or train, train[-n_eval:]
 

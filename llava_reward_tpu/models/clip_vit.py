@@ -100,7 +100,9 @@ def _lora_delta(x, lora_layer, name):
     if lora_layer is None or name not in lora_layer:
         return 0.0
     t = lora_layer[name]
-    return (x @ t["a"]) @ t["b"] * t["scale"]
+    a = t["a"].astype(x.dtype)
+    b = t["b"].astype(x.dtype)
+    return (x @ a) @ b * t["scale"].astype(x.dtype)
 
 
 def _encoder_layer(h, lp, cfg: VisionConfig, attn_impl: str, lora_layer=None):

@@ -70,12 +70,13 @@ def init_params(key: jax.Array, cfg: DecoderConfig, dtype=jnp.float32) -> dict:
 
 def _maybe_lora(x, base_out, lora_layer, name):
     """Add a LoRA delta: x @ A @ B * (alpha/r). lora_layer holds per-layer
-    slices of the stacked adapter (or None)."""
+    slices of the stacked adapter (or None). Adapter compute runs in the
+    activation dtype (bf16); the f32 master weights live in the optimizer."""
     if lora_layer is None or name not in lora_layer:
         return base_out
-    a = lora_layer[name]["a"]  # (in, r)
-    b = lora_layer[name]["b"]  # (r, out)
-    scale = lora_layer[name]["scale"]  # scalar array
+    a = lora_layer[name]["a"].astype(x.dtype)  # (in, r)
+    b = lora_layer[name]["b"].astype(x.dtype)  # (r, out)
+    scale = lora_layer[name]["scale"].astype(x.dtype)
     return base_out + (x @ a) @ b * scale
 
 

@@ -261,7 +261,9 @@ def _maybe_lora(x, base_out, lora_layer, name):
     if lora_layer is None or name not in lora_layer:
         return base_out
     t = lora_layer[name]
-    return base_out + (x @ t["a"]) @ t["b"] * t["scale"]
+    a = t["a"].astype(x.dtype)
+    b = t["b"].astype(x.dtype)
+    return base_out + (x @ a) @ b * t["scale"].astype(x.dtype)
 
 
 def _lin(x, p):

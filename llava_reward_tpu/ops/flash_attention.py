@@ -199,18 +199,55 @@ def _core_fwd(q, k, v, kv_start, causal, sliding_window, scale):
 
 
 def _core_bwd(causal, sliding_window, scale, res, g):
+    """Backward recomputes attention via the XLA path, CHUNKED over head
+    groups with lax.map so the (B, H, S, S) probs tensor never materialises
+    whole (peak memory / n_chunks). A fused backward kernel is the eventual
+    replacement (PERF.md)."""
     q, k, v, kv_start = res
-    S = k.shape[1]
+    B, S, H, D = q.shape
     mask = (jnp.arange(S)[None, :] >= kv_start[:, None]).astype(jnp.int32)
 
-    def ref(q, k, v):
+    n_rep = H // k.shape[2]
+    if n_rep > 1:  # GQA: expand for the reference path, reduce dk/dv after
+        k_full = jnp.repeat(k, n_rep, axis=2)
+        v_full = jnp.repeat(v, n_rep, axis=2)
+    else:
+        k_full, v_full = k, v
+
+    # pick a head chunking that bounds the probs tensor to ~256MB fp32
+    per_head = B * S * S * 4
+    hc = max(1, min(H, int((256 * 1024 * 1024) // max(per_head, 1)) or 1))
+    while H % hc != 0:
+        hc -= 1
+    nch = H // hc
+
+    def ref(q_h, k_h, v_h):
         return attention_reference(
-            q, k, v, causal=causal, key_padding_mask=mask,
+            q_h, k_h, v_h, causal=causal, key_padding_mask=mask,
             sliding_window=sliding_window, scale=scale,
         )
 
-    _, vjp = jax.vjp(ref, q, k, v)
-    dq, dk, dv = vjp(g)
+    def chunk_grad(args):
+        q_h, k_h, v_h, g_h = args
+        _, vjp = jax.vjp(ref, q_h, k_h, v_h)
+        return vjp(g_h)
+
+    def split(x):  # (B, S, H, D) -> (nch, B, S, hc, D)
+        return jnp.moveaxis(
+            x.reshape(B, S, nch, hc, D), 2, 0
+        )
+
+    dq_c, dk_c, dv_c = jax.lax.map(
+        chunk_grad, (split(q), split(k_full), split(v_full), split(g))
+    )
+
+    def unsplit(x):  # (nch, B, S, hc, D) -> (B, S, H, D)
+        return jnp.moveaxis(x, 0, 2).reshape(B, S, H, D)
+
+    dq, dk, dv = unsplit(dq_c), unsplit(dk_c), unsplit(dv_c)
+    if n_rep > 1:  # sum the expanded-kv grads back onto the shared heads
+        dk = dk.reshape(B, S, k.shape[2], n_rep, D).sum(axis=3)
+        dv = dv.reshape(B, S, k.shape[2], n_rep, D).sum(axis=3)
     return dq, dk, dv, None
 
 

@@ -253,10 +253,19 @@ class RewardTrainer:
                 )
         logger.info("saved reward artifact to %s", path)
 
-    def clean_old_checkpoints(self):
-        """Keep the newest max_ckpt_num step dirs (rm_trainer…py:370-378)."""
+    def clean_old_checkpoints(self, max_ckpt_mem_gb: float = None):
+        """Keep the newest max_ckpt_num step dirs (rm_trainer…py:370-378),
+        plus the size-based rotation of save_ckpt (deepspeed.py:496-511)."""
         if not os.path.isdir(self.save_path):
             return
+
+        def dir_size(d):
+            total = 0
+            for root, _, files in os.walk(d):
+                for f in files:
+                    total += os.path.getsize(os.path.join(root, f))
+            return total
+
         dirs = [
             d for d in os.listdir(self.save_path) if d.startswith("global_step")
         ]
@@ -265,6 +274,14 @@ class RewardTrainer:
             victim = dirs.pop(0)
             shutil.rmtree(os.path.join(self.save_path, victim), ignore_errors=True)
             logger.info("removed old checkpoint %s", victim)
+        if max_ckpt_mem_gb:
+            budget = max_ckpt_mem_gb * 1024 ** 3
+            while len(dirs) > 1 and sum(
+                dir_size(os.path.join(self.save_path, d)) for d in dirs
+            ) > budget:
+                victim = dirs.pop(0)
+                shutil.rmtree(os.path.join(self.save_path, victim), ignore_errors=True)
+                logger.info("removed checkpoint %s (size budget)", victim)
 
     # ------------------------------------------------------------ resume
 

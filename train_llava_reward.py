@@ -170,7 +170,8 @@ def train(args):
 
     # ---- data
     train_rows, eval_rows = blending_datasets(
-        args.dataset, args.dataset_probs, seed=args.seed, max_count=args.max_samples
+        args.dataset, args.dataset_probs, seed=args.seed,
+        max_count=args.max_samples, train_split_ratio=args.train_split_ratio,
     )
     pairwise = is_pairwise(train_rows)
     cls_based = args.cls_based or not pairwise
