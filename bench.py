@@ -32,8 +32,6 @@ BASELINE_PAIRS_PER_SEC = 2.0
 def e2e_main():
     """Synthetic-image end-to-end eval throughput: host pipeline (native C++
     decode+HD when built) overlapped with the jitted forward."""
-    import io
-
     import jax
     import jax.numpy as jnp
     from PIL import Image

@@ -4,8 +4,9 @@ Replaces flash-attn 2 in the reference (modeling_phi3_v.py:723-1032 and the
 CLIPAttentionFA2 swap-in :85-115). On TPU the padded-batch unpad/pad dance
 (bert_padding) is unnecessary: static shapes + masking inside the kernel.
 
-Layout convention everywhere: (batch, seq, heads, head_dim) -- no transposes
-between the projections and the kernel.
+Layout convention at the API: (batch, seq, heads, head_dim); the kernel
+transposes to head-major internally (XLA fuses those into the surrounding
+projections).
 """
 
 from __future__ import annotations
