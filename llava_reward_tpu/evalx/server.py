@@ -58,23 +58,44 @@ class RewardService:
             b *= 2
         return min(b, self.max_batch)
 
-    def score(self, caption: str, images) -> np.ndarray:
+    def _template(self, caption: str) -> str:
+        mt = self.adaptor.model_type
+        if mt == "qwen":
+            from ..preprocess.qwen_vision import apply_qwen_chat_template
+
+            return apply_qwen_chat_template(self.tokenizer, caption)
+        if mt == "llava":
+            from ..preprocess.llava_processor import apply_llava_chat_template
+
+            return apply_llava_chat_template(self.tokenizer, caption)
         from ..preprocess.phi3v_processor import apply_phi3v_chat_template
 
-        text = apply_phi3v_chat_template(self.tokenizer, caption)
+        return apply_phi3v_chat_template(self.tokenizer, caption)
+
+    def _collate_family(self, samples):
+        pad_id = (
+            self.adaptor.cfg.decoder.pad_token_id
+            if hasattr(self.adaptor.cfg, "decoder")
+            else self.adaptor.cfg.text.pad_token_id
+        )
+        if self.adaptor.model_type == "qwen":
+            from ..data.datasets import _qwen_budgets
+            from ..preprocess.collate import collate_qwen_samples
+
+            pb, ub = _qwen_budgets(self.processor, None, None)
+            return collate_qwen_samples(samples, self.seq_len, pad_id, pb, ub)
+        return self._collate(
+            samples, self.seq_len, pad_id,
+            crop_buckets=None,  # stable shapes across requests
+        )
+
+    def score(self, caption: str, images) -> np.ndarray:
+        text = self._template(caption)
         samples = [self.processor(text, [_load_image(im)]) for im in images]
         n = len(samples)
         bucket = self._bucket(n)
         samples += [samples[-1]] * (bucket - n)  # pad batch to the bucket
-        batch = self._to_batch(
-            self._collate(
-                samples, self.seq_len,
-                self.adaptor.cfg.decoder.pad_token_id
-                if hasattr(self.adaptor.cfg, "decoder")
-                else self.adaptor.cfg.text.pad_token_id,
-                crop_buckets=None,  # stable shapes across requests
-            )
-        )
+        batch = self._to_batch(self._collate_family(samples))
         with self._lock:
             r = np.asarray(self._score(self.adaptor.params, batch))
         return r[:n]
