@@ -76,7 +76,7 @@ def anyres_feature_geometry(
     nh, nw = bh // tile, bw // tile
     ch, cw = nh * feat, nw * feat  # feature-grid dims before unpad
     # unpad_image on the (C, ch, cw) feature grid
-    if ow_aspect_gt := (orig_w / orig_h > cw / ch):
+    if orig_w / orig_h > cw / ch:
         new_h = int(round(orig_h * (cw / orig_w), 7))
         r0, r1 = _unpad_range(ch, new_h)
         c0, c1 = 0, cw
@@ -127,7 +127,6 @@ def build_anyres_gather_idx(
     nh, nw = g["tiles"]
     r0, r1 = g["rows"]
     c0, c1 = g["cols"]
-    newline = None  # filled by caller budget; use sentinel index below
 
     n_tiles_bank = 1 + max_tiles(grid_pinpoints)
     NEWLINE = n_tiles_bank * feat * feat
