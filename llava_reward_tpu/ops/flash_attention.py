@@ -100,7 +100,9 @@ def _flash_fwd(
     Hk = k.shape[2]
     n_rep = H // Hk
 
-    D_pad = _round_up(D, 128)
+    # Mosaic tiles non-128 minors internally; keeping D=96 unpadded skips
+    # three full-tensor pad copies per layer (measured -3% decoder time).
+    D_pad = D if D % 32 == 0 else _round_up(D, 128)
     if block_q is None:
         # Fit the VMEM budget (~16MB/core): K + V resident (2 * S * D_pad *
         # itemsize, double-buffered by the pipeline) + fp32 score tile
