@@ -25,6 +25,7 @@ class ModelFamily:
     decoder_cfg: Callable[[Any], Any]
     get_projector: Callable[[dict], Optional[dict]]
     set_projector: Callable[[dict, dict], None]
+    projector_path: Tuple[str, ...]  # slot in the backbone tree (train_step)
     supports_skipca: bool
     tokenizer_setup: Callable  # (tokenizer) -> None (padding side etc.)
 
@@ -61,6 +62,7 @@ def _phi3v_family() -> ModelFamily:
         decoder_cfg=lambda cfg: cfg.decoder,
         get_projector=lambda b: b["vision"]["img_projection"],
         set_projector=set_proj,
+        projector_path=("vision", "img_projection"),
         supports_skipca=True,
         tokenizer_setup=tok_setup,
     )
@@ -107,6 +109,7 @@ def _qwen_family() -> ModelFamily:
         decoder_cfg=lambda cfg: cfg.text,
         get_projector=lambda b: b["visual"]["merger"],
         set_projector=set_proj,
+        projector_path=("visual", "merger"),
         supports_skipca=True,
         tokenizer_setup=tok_setup,
     )
@@ -148,6 +151,7 @@ def _llava_family() -> ModelFamily:
         decoder_cfg=lambda cfg: cfg.text,
         get_projector=lambda b: b["vision"]["projector"],
         set_projector=set_proj,
+        projector_path=("vision", "projector"),
         supports_skipca=False,  # not wired in the reference (rw:372-375)
         tokenizer_setup=tok_setup,
     )

@@ -52,6 +52,18 @@ class PrefetchLoader:
         out_q: "queue.Queue" = queue.Queue(maxsize=self.prefetch_batches)
         stop = threading.Event()
 
+        def put_or_stop(msg) -> bool:
+            """Timed put re-checking stop so an abandoned iterator can't
+            leave the producer blocked forever on the bounded queue
+            (ADVICE r1: thread + ThreadPoolExecutor leak per epoch)."""
+            while not stop.is_set():
+                try:
+                    out_q.put(msg, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
+
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
@@ -75,10 +87,11 @@ class PrefetchLoader:
                             next_batch += 1
                         host = self.collate_fn(items)
                         dev = self.device_put(host) if self.device_put else host
-                        out_q.put(("item", dev))
-                out_q.put(("done", None))
+                        if not put_or_stop(("item", dev)):
+                            return
+                put_or_stop(("done", None))
             except BaseException as e:  # propagate worker errors
-                out_q.put(("error", e))
+                put_or_stop(("error", e))
 
         t = threading.Thread(target=produce, daemon=True)
         t.start()

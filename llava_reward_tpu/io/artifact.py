@@ -119,6 +119,36 @@ def load_llava_projector_params(pm_path: str, dtype=np.float32) -> Optional[dict
     }
 
 
+def projector_state_dict(projector_params: dict, model_type: str) -> Dict[str, np.ndarray]:
+    """Family-specific torch keys for a trained projector, matching what the
+    reference's save_model_lora filter would capture (deepspeed.py:343-357)
+    and its loader's re-keying expects (reward_adaptor_loader.py:98-110 qwen
+    'merger' last-two-parts, :143-148 llava 'multi_modal_projector')."""
+    if model_type == "phi3v":
+        return {
+            "model.vision_embed_tokens.img_projection.0.weight": _t(projector_params["fc1"]["kernel"]),
+            "model.vision_embed_tokens.img_projection.0.bias": np.asarray(projector_params["fc1"]["bias"]),
+            "model.vision_embed_tokens.img_projection.2.weight": _t(projector_params["fc2"]["kernel"]),
+            "model.vision_embed_tokens.img_projection.2.bias": np.asarray(projector_params["fc2"]["bias"]),
+        }
+    if model_type == "qwen":
+        return {
+            "visual.merger.ln_q.weight": np.asarray(projector_params["ln_q"]),
+            "visual.merger.mlp.0.weight": _t(projector_params["fc1"]["kernel"]),
+            "visual.merger.mlp.0.bias": np.asarray(projector_params["fc1"]["bias"]),
+            "visual.merger.mlp.2.weight": _t(projector_params["fc2"]["kernel"]),
+            "visual.merger.mlp.2.bias": np.asarray(projector_params["fc2"]["bias"]),
+        }
+    if model_type == "llava":
+        return {
+            "multi_modal_projector.linear_1.weight": _t(projector_params["fc1"]["kernel"]),
+            "multi_modal_projector.linear_1.bias": np.asarray(projector_params["fc1"]["bias"]),
+            "multi_modal_projector.linear_2.weight": _t(projector_params["fc2"]["kernel"]),
+            "multi_modal_projector.linear_2.bias": np.asarray(projector_params["fc2"]["bias"]),
+        }
+    raise ValueError(f"unknown model_type {model_type!r}")
+
+
 def save_reward_artifact(
     pm_path: str,
     rcfg: RewardConfig,
@@ -127,6 +157,7 @@ def save_reward_artifact(
     lora_state: Optional[Dict[str, np.ndarray]] = None,
     lora_config: Optional[dict] = None,
     torch_dtype=None,
+    model_type: str = "phi3v",
 ) -> None:
     """Write the full artifact so the REFERENCE loader can consume it
     (deepspeed.py:343-417 key naming)."""
@@ -144,18 +175,7 @@ def save_reward_artifact(
     if "prompt_head" in head_params:
         sd["prompt_head.weight"] = _t(head_params["prompt_head"]["kernel"])
     if projector_params is not None:
-        sd["model.vision_embed_tokens.img_projection.0.weight"] = _t(
-            projector_params["fc1"]["kernel"]
-        )
-        sd["model.vision_embed_tokens.img_projection.0.bias"] = np.asarray(
-            projector_params["fc1"]["bias"]
-        )
-        sd["model.vision_embed_tokens.img_projection.2.weight"] = _t(
-            projector_params["fc2"]["kernel"]
-        )
-        sd["model.vision_embed_tokens.img_projection.2.bias"] = np.asarray(
-            projector_params["fc2"]["bias"]
-        )
+        sd.update(projector_state_dict(projector_params, model_type))
     if torch_dtype is None:
         import torch
 

@@ -157,8 +157,15 @@ def _vision_block(h, lp, vc: QwenVisionConfig, cos, sin, patch_valid, is_full, a
     q = (qf * c + _rotate_half(qf) * s).astype(h.dtype)
     k = (kf * c + _rotate_half(kf) * s).astype(h.dtype)
 
+    # patch_valid is NOT a left-pad mask (partial windows interleave invalid
+    # slots; the batch patch budget right-pads) — declare mask_layout so the
+    # flash kernel masks from the full (B, P) mask instead of a kv_start
+    # scalar, which would silently attend to padding.
     def full_attn(q, k, v):
-        return mha(q, k, v, causal=False, key_padding_mask=patch_valid, impl=attn_impl)
+        return mha(
+            q, k, v, causal=False, key_padding_mask=patch_valid,
+            impl=attn_impl, mask_layout="arbitrary",
+        )
 
     def win_attn(q, k, v):
         nW = P // wp
@@ -166,7 +173,10 @@ def _vision_block(h, lp, vc: QwenVisionConfig, cos, sin, patch_valid, is_full, a
         kw = k.reshape(B * nW, wp, nh, hd)
         vw = v.reshape(B * nW, wp, nh, hd)
         mw = patch_valid.reshape(B * nW, wp)
-        out = mha(qw, kw, vw, causal=False, key_padding_mask=mw, impl=attn_impl)
+        out = mha(
+            qw, kw, vw, causal=False, key_padding_mask=mw,
+            impl=attn_impl, mask_layout="arbitrary",
+        )
         return out.reshape(B, P, nh, hd)
 
     attn = jax.lax.cond(is_full, full_attn, win_attn, q, k, v)

@@ -83,25 +83,25 @@ def mha(
     sliding_window: Optional[int] = None,
     scale: Optional[float] = None,
     impl: str = "auto",
+    mask_layout: str = "leftpad",
 ) -> jnp.ndarray:
     """Dispatch: Pallas flash kernel on TPU, XLA reference elsewhere.
 
     ``impl``: "auto" | "pallas" | "xla".
+    ``mask_layout``: "leftpad" if valid keys form a suffix (the decoder
+    collator's convention), "arbitrary" for any key-valid pattern (qwen
+    vision windows) — see flash_attention.
     """
     if impl == "auto":
         try:
             on_tpu = jax.devices()[0].platform == "tpu"
         except Exception:
             on_tpu = False
-        # short unmasked bidirectional attention (the CLIP tower: 577
-        # tokens, no padding) measured slightly faster on the XLA path —
-        # the kernel pads D 64->128 and loses half its lanes there
-        if (
-            on_tpu
-            and not causal
-            and key_padding_mask is None
-            and q.shape[1] <= 1024
-        ):
+        # short bidirectional attention (CLIP tower: 577 tokens; qwen vision
+        # windows: 64 patches) measured faster on the XLA path — the kernel
+        # pads D 64->128 and loses half its lanes there, and tiny grids
+        # don't amortise the dispatch
+        if on_tpu and not causal and q.shape[1] <= 1024:
             on_tpu = False
         impl = "pallas" if on_tpu else "xla"
     if impl == "pallas":
@@ -115,6 +115,7 @@ def mha(
             key_padding_mask=key_padding_mask,
             sliding_window=sliding_window,
             scale=scale,
+            mask_layout=mask_layout,
         )
     return attention_reference(
         q,

@@ -7,10 +7,12 @@ Design for this workload (reward scoring, seq <= ~3k):
   0.65 MB each) and computes scores for all GQA query heads of that kv head
   in one (n_rep*Bq, S) MXU matmul — no online-softmax bookkeeping, a single
   fp32 softmax over the whole row, everything stays in VMEM (~5 MB total);
-- masking is done in-kernel from scalars instead of the reference's
-  unpad/pad dance (bert_padding): causal via position iota, LEFT padding via
-  a per-batch ``kv_start`` scalar (valid keys are a contiguous suffix after
-  the collator's left padding), sliding window via q_pos - window;
+- masking is done in-kernel instead of the reference's unpad/pad dance
+  (bert_padding): causal via position iota, LEFT padding via a per-batch
+  ``kv_start`` scalar (valid keys are a contiguous suffix after the
+  collator's left padding), sliding window via q_pos - window; arbitrary
+  key-valid patterns (qwen vision windows) via an optional full (B, S)
+  mask row in VMEM (``mask_layout="arbitrary"``);
 - head_dim is zero-padded to a lane multiple (96 -> 128 for Phi-3) in the
   wrapper: zero K columns contribute 0 to scores and zero V columns produce
   sliced-off zeros, so results are exact;
@@ -38,14 +40,18 @@ def _fa_kernel(
     q_ref,  # (1, 1, Bq, D)
     k_ref,  # (1, 1, S, D)
     v_ref,  # (1, 1, S, D)
-    o_ref,  # (1, 1, Bq, D)
-    *,
+    *rest,  # [mask_ref (1, S) if has_mask,] o_ref (1, 1, Bq, D)
     scale: float,
     causal: bool,
     sliding_window: Optional[int],
     q_len: int,
     block_q: int,
+    has_mask: bool = False,
 ):
+    if has_mask:
+        mask_ref, o_ref = rest
+    else:
+        (o_ref,) = rest
     b = pl.program_id(0)
     qi = pl.program_id(2)
 
@@ -62,6 +68,12 @@ def _fa_kernel(
     mask = k_pos < q_len  # right-pad tail from block rounding
     start = kv_start_ref[b]
     mask &= k_pos >= start
+    if has_mask:
+        # arbitrary key-valid mask (e.g. qwen vision full-attention blocks
+        # whose padding is interleaved/right-side, NOT a left-pad suffix);
+        # carried as (B, 1, S) so the block's last two dims (1, S) satisfy
+        # Mosaic's tile rule (equal to the array dims)
+        mask &= mask_ref[0, :][None, :] != 0
     if causal:
         mask &= k_pos <= q_pos
         if sliding_window is not None:
@@ -88,6 +100,7 @@ def _flash_fwd(
     k: jnp.ndarray,  # (B, S, Hk, D)
     v: jnp.ndarray,
     kv_start: jnp.ndarray,  # (B,) int32
+    key_mask: Optional[jnp.ndarray],  # (B, S) int32 1=valid, or None
     causal: bool,
     sliding_window: Optional[int],
     scale: float,
@@ -123,6 +136,8 @@ def _flash_fwd(
     if S_pad != S:
         pad = [(0, 0), (0, S_pad - S), (0, 0), (0, 0)]
         q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+    if key_mask is not None and key_mask.shape[1] != S_pad:
+        key_mask = jnp.pad(key_mask, [(0, 0), (0, S_pad - key_mask.shape[1])])
 
     nq = S_pad // block_q
     # (B, Hk, nq, n_rep, block_q, D): each grid step's q block holds all the
@@ -141,7 +156,36 @@ def _flash_fwd(
         sliding_window=sliding_window,
         q_len=S,
         block_q=block_q,
+        has_mask=key_mask is not None,
     )
+
+    in_specs = [
+        pl.BlockSpec(
+            (1, 1, n_rep * block_q, D_pad),
+            lambda b, h, qi, *prefetch: (b, h, qi, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, S_pad, D_pad),
+            lambda b, h, qi, *prefetch: (b, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        pl.BlockSpec(
+            (1, 1, S_pad, D_pad),
+            lambda b, h, qi, *prefetch: (b, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    ]
+    operands = [qt, kt, vt]
+    if key_mask is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (None, 1, S_pad),
+                lambda b, h, qi, *prefetch: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(key_mask.astype(jnp.int32)[:, None, :])
 
     interpret = jax.devices()[0].platform != "tpu"  # CPU tests run interpreted
     out = pl.pallas_call(
@@ -150,23 +194,7 @@ def _flash_fwd(
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
-            in_specs=[
-                pl.BlockSpec(
-                    (1, 1, n_rep * block_q, D_pad),
-                    lambda b, h, qi, *prefetch: (b, h, qi, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, 1, S_pad, D_pad),
-                    lambda b, h, qi, *prefetch: (b, h, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-                pl.BlockSpec(
-                    (1, 1, S_pad, D_pad),
-                    lambda b, h, qi, *prefetch: (b, h, 0, 0),
-                    memory_space=pltpu.VMEM,
-                ),
-            ],
+            in_specs=in_specs,
             out_specs=pl.BlockSpec(
                 (1, 1, n_rep * block_q, D_pad),
                 lambda b, h, qi, *prefetch: (b, h, qi, 0),
@@ -179,7 +207,7 @@ def _flash_fwd(
             bytes_accessed=(qt.size + kt.size + vt.size) * qt.dtype.itemsize,
             transcendentals=B * H * S_pad * S_pad,
         ),
-    )(kv_start.astype(jnp.int32), qt, kt, vt)
+    )(kv_start.astype(jnp.int32), *operands)
 
     # undo the rep-interleaved block layout -> (B, S, H, D)
     out = out.reshape(B, Hk, nq, n_rep, block_q, D_pad)
@@ -189,15 +217,15 @@ def _flash_fwd(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(4, 5, 6)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7)
 )
-def _flash_attention_core(q, k, v, kv_start, causal, sliding_window, scale):
-    return _flash_fwd(q, k, v, kv_start, causal, sliding_window, scale)
+def _flash_attention_core(q, k, v, kv_start, key_mask, causal, sliding_window, scale):
+    return _flash_fwd(q, k, v, kv_start, key_mask, causal, sliding_window, scale)
 
 
-def _core_fwd(q, k, v, kv_start, causal, sliding_window, scale):
-    out = _flash_fwd(q, k, v, kv_start, causal, sliding_window, scale)
-    return out, (q, k, v, kv_start)
+def _core_fwd(q, k, v, kv_start, key_mask, causal, sliding_window, scale):
+    out = _flash_fwd(q, k, v, kv_start, key_mask, causal, sliding_window, scale)
+    return out, (q, k, v, kv_start, key_mask)
 
 
 def _core_bwd(causal, sliding_window, scale, res, g):
@@ -205,9 +233,12 @@ def _core_bwd(causal, sliding_window, scale, res, g):
     groups with lax.map so the (B, H, S, S) probs tensor never materialises
     whole (peak memory / n_chunks). A fused backward kernel is the eventual
     replacement (PERF.md)."""
-    q, k, v, kv_start = res
+    q, k, v, kv_start, key_mask = res
     B, S, H, D = q.shape
-    mask = (jnp.arange(S)[None, :] >= kv_start[:, None]).astype(jnp.int32)
+    if key_mask is not None:
+        mask = key_mask.astype(jnp.int32)
+    else:
+        mask = (jnp.arange(S)[None, :] >= kv_start[:, None]).astype(jnp.int32)
 
     n_rep = H // k.shape[2]
     if n_rep > 1:  # GQA: expand for the reference path, reduce dk/dv after
@@ -250,7 +281,7 @@ def _core_bwd(causal, sliding_window, scale, res, g):
     if n_rep > 1:  # sum the expanded-kv grads back onto the shared heads
         dk = dk.reshape(B, S, k.shape[2], n_rep, D).sum(axis=3)
         dv = dv.reshape(B, S, k.shape[2], n_rep, D).sum(axis=3)
-    return dq, dk, dv, None
+    return dq, dk, dv, None, None
 
 
 _flash_attention_core.defvjp(_core_fwd, _core_bwd)
@@ -262,22 +293,35 @@ def flash_attention(
     v: jnp.ndarray,
     *,
     causal: bool = False,
-    key_padding_mask: Optional[jnp.ndarray] = None,  # (B, S) 1=valid, left-pad
+    key_padding_mask: Optional[jnp.ndarray] = None,  # (B, S) 1=valid
     sliding_window: Optional[int] = None,
     scale: Optional[float] = None,
+    mask_layout: str = "leftpad",
 ) -> jnp.ndarray:
-    """Drop-in for ops.attention.mha's kernel path. The padding mask must be
-    a left-pad mask (valid keys form a suffix) — guaranteed by the collator
-    (preprocess/collate.py)."""
+    """Drop-in for ops.attention.mha's kernel path.
+
+    ``mask_layout``:
+    - "leftpad" (default): valid keys form a suffix (the collator's left
+      padding, preprocess/collate.py) — masked with one per-batch scalar;
+    - "arbitrary": any key-valid pattern (e.g. qwen vision windows whose
+      padding is interleaved) — the full (B, S) mask rides into the kernel.
+    """
     B, S, H, D = q.shape
     if scale is None:
         scale = 1.0 / (D ** 0.5)
-    if key_padding_mask is None:
-        kv_start = jnp.zeros((B,), jnp.int32)
-    else:
-        kv_start = jnp.sum(
-            1 - key_padding_mask.astype(jnp.int32), axis=-1
-        )  # number of left pads == first valid index
+    kv_start = jnp.zeros((B,), jnp.int32)
+    key_mask = None
+    if key_padding_mask is not None:
+        if mask_layout == "arbitrary":
+            key_mask = key_padding_mask.astype(jnp.int32)
+        elif mask_layout == "leftpad":
+            kv_start = jnp.sum(
+                1 - key_padding_mask.astype(jnp.int32), axis=-1
+            )  # number of left pads == first valid index
+        else:
+            raise ValueError(f"unknown mask_layout {mask_layout!r}")
     if sliding_window is not None and sliding_window >= S:
         sliding_window = None
-    return _flash_attention_core(q, k, v, kv_start, causal, sliding_window, scale)
+    return _flash_attention_core(
+        q, k, v, kv_start, key_mask, causal, sliding_window, scale
+    )

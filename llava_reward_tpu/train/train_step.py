@@ -56,9 +56,28 @@ def select_loss_name(
     return "bt"
 
 
-def assemble_params(frozen: dict, trainable: dict):
+PROJECTOR_PATHS = {
+    # where each family's forward reads the projector from the backbone tree
+    # (reward_adaptor_loader.py re-keying: img_projection / merger /
+    #  multi_modal_projector)
+    "phi3v": ("vision", "img_projection"),
+    "qwen": ("visual", "merger"),
+    "llava": ("vision", "projector"),
+}
+
+
+def assemble_params(
+    frozen: dict,
+    trainable: dict,
+    projector_path: Tuple[str, ...] = PROJECTOR_PATHS["phi3v"],
+):
     """Merge the trainable leaves back into a full forward tree.
     Returns (params, lora, vision_lora).
+
+    ``projector_path`` is the family-specific slot the forward reads the
+    projector from (PROJECTOR_PATHS / core.registry.ModelFamily) — with
+    --ft_projector the trained projector must land where that family's
+    forward looks, not at phi3v's hardcoded slot (ADVICE r1).
 
     Full fine-tuning (the reference's lora_rank=0 mode, consumed by the
     _ft_phi eval harness): the ENTIRE backbone lives in ``trainable``
@@ -66,8 +85,11 @@ def assemble_params(frozen: dict, trainable: dict):
     backbone = trainable.get("backbone") or frozen["backbone"]
     if trainable.get("projector") is not None:
         backbone = dict(backbone)
-        backbone["vision"] = dict(backbone["vision"])
-        backbone["vision"]["img_projection"] = trainable["projector"]
+        node = backbone
+        for key in projector_path[:-1]:
+            node[key] = dict(node[key])
+            node = node[key]
+        node[projector_path[-1]] = trainable["projector"]
     params = {"backbone": backbone, "head": trainable["head"]}
     return params, trainable.get("lora"), trainable.get("vision_lora")
 
@@ -84,6 +106,7 @@ def make_pairwise_loss_fn(
     ptx_loss_coef: float = 0.1,
     reward_scaler_beta: float = 2.0,
     add_img_eos: bool = False,
+    projector_path: Tuple[str, ...] = PROJECTOR_PATHS["phi3v"],
 ) -> Callable:
     """``add_pretrain_loss`` mixes the SFTSum ptx regulariser over the chosen
     sequence's LM logits (rm_trainer…py:178-208): loss = (1 - coef) *
@@ -101,7 +124,7 @@ def make_pairwise_loss_fn(
         rejected: RewardBatch,
         margin: Optional[jnp.ndarray] = None,
     ):
-        params, lora, vision_lora = assemble_params(frozen, trainable)
+        params, lora, vision_lora = assemble_params(frozen, trainable, projector_path)
         prompt_end = None
         if loss_name == "moe":
             # prompt-conditioned R gathers the hidden state at the prompt's
@@ -172,11 +195,12 @@ def make_cls_loss_fn(
     compute_fp32_loss: bool = False,
     attn_impl: str = "auto",
     remat: bool = True,
+    projector_path: Tuple[str, ...] = PROJECTOR_PATHS["phi3v"],
 ) -> Callable:
     """Pointwise classification objective (cls_fit, rm_trainer…py:240-345)."""
 
     def loss_fn(trainable, frozen, batch: RewardBatch, labels: jnp.ndarray):
-        params, lora, vision_lora = assemble_params(frozen, trainable)
+        params, lora, vision_lora = assemble_params(frozen, trainable, projector_path)
         out = reward_forward(
             params, cfg, rcfg, batch,
             training=True, attn_impl=attn_impl, remat=remat, lora=lora,

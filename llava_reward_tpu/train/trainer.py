@@ -61,6 +61,8 @@ class RewardTrainer:
         mesh=None,
         shard_batch_fn: Optional[Callable] = None,
         save_best_model: bool = False,
+        model_type: str = "phi3v",
+        lora_targets: Optional[tuple] = None,
     ):
         self.cfg, self.rcfg = cfg, rcfg
         self.frozen = frozen
@@ -88,6 +90,11 @@ class RewardTrainer:
         # here it tracks eval accuracy and keeps <save_path>/best.
         self.save_best_model = save_best_model
         self.best_eval_acc = float("-inf")
+        self.model_type = model_type
+        # the actual trained LoRA target list rides into adapter_config.json
+        # so the reference's PEFT load_adapter wraps the right modules
+        # (ADVICE r1: qwen/llava runs must not advertise phi3 targets)
+        self.lora_targets = lora_targets
 
     # ------------------------------------------------------------ fit
 
@@ -160,10 +167,12 @@ class RewardTrainer:
     def evaluate(self, global_step: int = 0) -> Dict[str, float]:
         if self.eval_loader is None:
             return {}
-        from .train_step import assemble_params
+        from .train_step import PROJECTOR_PATHS, assemble_params
         from ..reward.model import reward_forward
 
-        params, lora, vision_lora = assemble_params(self.frozen, self.state.trainable)
+        params, lora, vision_lora = assemble_params(
+            self.frozen, self.state.trainable, PROJECTOR_PATHS[self.model_type]
+        )
         cfg, rcfg = self.cfg, self.rcfg
 
         @jax.jit
@@ -211,9 +220,15 @@ class RewardTrainer:
         if trainable.get("lora") is not None and self.lora_rank > 0:
             dec_cfg = getattr(self.cfg, "decoder", None) or self.cfg.text
             lora_state = stacked_to_peft_state(trainable["lora"], dec_cfg)
-            lora_config = peft_adapter_config(
-                self.lora_rank, self.lora_alpha, self.lora_dropout
-            )
+            if self.lora_targets is not None:
+                lora_config = peft_adapter_config(
+                    self.lora_rank, self.lora_alpha, self.lora_dropout,
+                    targets=tuple(self.lora_targets),
+                )
+            else:
+                lora_config = peft_adapter_config(
+                    self.lora_rank, self.lora_alpha, self.lora_dropout
+                )
         save_reward_artifact(
             path,
             self.rcfg,
@@ -221,6 +236,7 @@ class RewardTrainer:
             projector_params=trainable.get("projector"),
             lora_state=lora_state,
             lora_config=lora_config,
+            model_type=self.model_type,
         )
         if trainable.get("backbone") is not None:
             # full fine-tuning: also export the whole backbone as an HF-layout

@@ -87,6 +87,66 @@ def test_flash_backward_matches_reference(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
 
 
+@pytest.mark.parametrize("pattern", ["interleaved", "rightpad"])
+def test_flash_arbitrary_mask(rng, pattern):
+    """ADVICE r1 (high): non-suffix key masks (qwen vision windows interleave
+    invalid slots; the batch patch budget right-pads) must be honored by the
+    kernel via mask_layout='arbitrary'."""
+    B, S, H, D = 2, 200, 2, 64
+    q, k, v = (_rand(rng, B, S, H, D) for _ in range(3))
+    mask = np.ones((B, S), np.int32)
+    if pattern == "interleaved":
+        mask[0, 7::13] = 0  # holes scattered through the row
+        mask[1, 3::5] = 0
+    else:
+        mask[0, 150:] = 0  # valid PREFIX (the opposite of the collator)
+        mask[1, 60:] = 0
+
+    out = flash_attention(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        causal=False, key_padding_mask=jnp.asarray(mask),
+        mask_layout="arbitrary",
+    )
+    ref = attention_reference(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v),
+        causal=False, key_padding_mask=jnp.asarray(mask),
+    )
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(out)[valid], np.asarray(ref)[valid], rtol=2e-4, atol=2e-4
+    )
+
+
+def test_flash_arbitrary_mask_backward(rng):
+    B, S, H, D = 1, 96, 2, 32
+    q, k, v = (_rand(rng, B, S, H, D) for _ in range(3))
+    mask = np.ones((B, S), np.int32)
+    mask[0, 5::7] = 0
+    w = jnp.asarray(mask.astype(np.float32))[:, :, None, None]
+
+    def loss_flash(q, k, v):
+        out = flash_attention(
+            q, k, v, causal=False, key_padding_mask=jnp.asarray(mask),
+            mask_layout="arbitrary",
+        )
+        return jnp.sum((out * w) ** 2)
+
+    def loss_ref(q, k, v):
+        out = attention_reference(
+            q, k, v, causal=False, key_padding_mask=jnp.asarray(mask)
+        )
+        return jnp.sum((out * w) ** 2)
+
+    gf = jax.grad(loss_flash, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    )
+    gr = jax.grad(loss_ref, argnums=(0, 1, 2))(
+        jnp.asarray(q), jnp.asarray(k), jnp.asarray(v)
+    )
+    for a, b in zip(gf, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
+
+
 def test_flash_bf16(rng):
     B, S, H, D = 1, 256, 2, 96
     q, k, v = (

@@ -217,6 +217,7 @@ def train(args):
         loss_fn = make_cls_loss_fn(
             cfg, rcfg, compute_fp32_loss=args.compute_fp32_loss,
             attn_impl=attn_impl, remat=args.gradient_checkpointing,
+            projector_path=family.projector_path,
         )
     else:
         loss_fn = make_pairwise_loss_fn(
@@ -226,6 +227,7 @@ def train(args):
             ptx_loss_coef=args.ptx_loss_coef,
             reward_scaler_beta=args.reward_scaler_beta,
             add_img_eos=args.add_img_eos,
+            projector_path=family.projector_path,
         )
 
     # ---- shard over the mesh
@@ -259,6 +261,11 @@ def train(args):
             mesh=mesh,
             shard_batch_fn=lambda b: shard_batch(b, mesh),
             save_best_model=bool(args.save_best_model),
+            model_type=args.model_type,
+            lora_targets=(
+                tuple(args.target_modules) if args.target_modules
+                else family.lora_targets
+            ),
         )
         if args.load_checkpoint and os.path.isdir(
             os.path.join(args.ckpt_path, "train_state")
