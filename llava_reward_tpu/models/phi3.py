@@ -41,9 +41,9 @@ import jax.numpy as jnp
 
 from ..core.config import DecoderConfig
 from ..ops.activations import ACT2FN
-from ..ops.attention import mha
+from ..ops.attention import fused_rope_attention
 from ..ops.norms import rms_norm
-from ..ops.rope import apply_rotary, rope_cos_sin_for_config
+from ..ops.rope import rope_cos_sin_for_config
 
 
 def init_params(key: jax.Array, cfg: DecoderConfig, dtype=jnp.float32) -> dict:
@@ -99,19 +99,14 @@ def decoder_layer(
     residual = h
     x = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
     qkv = _maybe_lora(x, x @ lp["qkv_proj"], lora_layer, "qkv_proj")
-    q = qkv[..., : cfg.q_size].reshape(B, S, nh, hd)
-    k = qkv[..., cfg.q_size : cfg.q_size + cfg.kv_size].reshape(B, S, nkv, hd)
-    v = qkv[..., cfg.q_size + cfg.kv_size :].reshape(B, S, nkv, hd)
-    q, k = apply_rotary(q, k, cos, sin)
-    attn = mha(
-        q,
-        k,
-        v,
+    attn = fused_rope_attention(
+        qkv, cos, sin,
+        n_heads=nh, n_kv_heads=nkv, head_dim=hd,
         causal=True,
         key_padding_mask=attention_mask,
         sliding_window=cfg.sliding_window,
         impl=attn_impl,
-    ).reshape(B, S, nh * hd)
+    )  # (B, S, nh*hd); pallas fused path on TPU, split+rope+mha elsewhere
     attn = _maybe_lora(attn, attn @ lp["o_proj"], lora_layer, "o_proj")
     h = residual + attn
 

@@ -126,3 +126,61 @@ def mha(
         sliding_window=sliding_window,
         scale=scale,
     )
+
+
+def fused_rope_attention(
+    qkv: jnp.ndarray,  # (B, S, q_size + 2*kv_size) fused projection output
+    cos: jnp.ndarray,  # (B, S, head_dim)
+    sin: jnp.ndarray,
+    *,
+    n_heads: int,
+    n_kv_heads: int,
+    head_dim: int,
+    causal: bool = True,
+    key_padding_mask: Optional[jnp.ndarray] = None,  # left-pad convention
+    sliding_window: Optional[int] = None,
+    scale: Optional[float] = None,
+    impl: str = "auto",
+) -> jnp.ndarray:
+    """Decoder attention straight from the fused qkv projection output ->
+    (B, S, n_heads*head_dim). On TPU (when the shapes allow) this runs the
+    fused Pallas path: rope+transpose prep kernel + head-major flash core,
+    with zero XLA layout transposes (~5.5 ms/layer saved at reward shapes).
+    Elsewhere it falls back to split + rope + mha."""
+    B, S, _ = qkv.shape
+    qsz = n_heads * head_dim
+    kvsz = n_kv_heads * head_dim
+
+    use_fused = False
+    if impl in ("auto", "pallas"):
+        from .flash_attention import fused_path_supported
+
+        try:
+            on_tpu = jax.devices()[0].platform == "tpu"
+        except Exception:
+            on_tpu = False
+        if (impl == "pallas" or on_tpu) and fused_path_supported(
+            S, n_heads, n_kv_heads, head_dim
+        ):
+            use_fused = True
+    if use_fused:
+        from .flash_attention import fused_qkv_attention
+
+        return fused_qkv_attention(
+            qkv, cos, sin,
+            n_heads=n_heads, n_kv_heads=n_kv_heads, head_dim=head_dim,
+            causal=causal, key_padding_mask=key_padding_mask,
+            sliding_window=sliding_window, scale=scale,
+        )
+
+    from .rope import apply_rotary
+
+    q = qkv[..., :qsz].reshape(B, S, n_heads, head_dim)
+    k = qkv[..., qsz : qsz + kvsz].reshape(B, S, n_kv_heads, head_dim)
+    v = qkv[..., qsz + kvsz :].reshape(B, S, n_kv_heads, head_dim)
+    q, k = apply_rotary(q, k, cos, sin)
+    out = mha(
+        q, k, v, causal=causal, key_padding_mask=key_padding_mask,
+        sliding_window=sliding_window, scale=scale, impl=impl,
+    )
+    return out.reshape(B, S, qsz)

@@ -37,10 +37,10 @@ NEG_INF = -1e30
 
 def _fa_kernel(
     kv_start_ref,  # SMEM (B,) first valid key index per batch row
-    q_ref,  # (1, 1, Bq, D)
-    k_ref,  # (1, 1, S, D)
-    v_ref,  # (1, 1, S, D)
-    *rest,  # [mask_ref (1, S) if has_mask,] o_ref (1, 1, Bq, D)
+    q_ref,  # (n_rep, Bq, D)
+    k_ref,  # (S, D)
+    v_ref,  # (S, D)
+    *rest,  # [mask_ref (1, S) if has_mask,] o_ref (n_rep, Bq, D)
     scale: float,
     causal: bool,
     sliding_window: Optional[int],
@@ -55,8 +55,12 @@ def _fa_kernel(
     b = pl.program_id(0)
     qi = pl.program_id(2)
 
-    q = q_ref[0, 0]  # (n_rep*Bq, D): GQA reps stacked in Bq-row chunks
-    k = k_ref[0, 0]  # (S, D)
+    n_rep, Bq, D = q_ref.shape
+    # collapse the GQA reps into rows: (n_rep*Bq, D), rep-major. The
+    # collapse only merges leading dims (tile layout unchanged) so it's
+    # free in Mosaic.
+    q = q_ref[...].reshape(n_rep * Bq, D)
+    k = k_ref[...]  # (S, D)
     scores = jax.lax.dot_general(
         q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
     ) * scale  # (n_rep*Bq, S)
@@ -85,68 +89,51 @@ def _fa_kernel(
     denom = jnp.sum(e, axis=-1, keepdims=True)
     probs = (e / denom).astype(q.dtype)
 
-    o_ref[0, 0] = jax.lax.dot_general(
-        probs, v_ref[0, 0], (((1,), (0,)), ((), ())),
+    o_ref[...] = jax.lax.dot_general(
+        probs, v_ref[...], (((1,), (0,)), ((), ())),
         preferred_element_type=jnp.float32,
-    ).astype(o_ref.dtype)
+    ).astype(o_ref.dtype).reshape(n_rep, Bq, D)
 
 
 def _round_up(x, m):
     return (x + m - 1) // m * m
 
 
-def _flash_fwd(
-    q: jnp.ndarray,  # (B, S, H, D)
-    k: jnp.ndarray,  # (B, S, Hk, D)
-    v: jnp.ndarray,
+def _pick_block_q(S: int, D_pad: int, n_rep: int, itemsize: int) -> int:
+    """Fit the VMEM budget (~16MB/core): K + V resident (2 * S * D_pad *
+    itemsize, double-buffered by the pipeline) + fp32 score tile
+    (n_rep * block_q * S * 4) + q/out tiles. Solve for block_q, clamp
+    to [64, 512] in VPU-friendly multiples. 512 measured ~4% faster than
+    256/384 on v5e at S=2560."""
+    S_est = _round_up(S, 64)
+    kv_bytes = 2 * 2 * S_est * D_pad * itemsize  # K+V, 2 buffers
+    budget = 14 * 1024 * 1024
+    avail = max(budget - kv_bytes, 2 * 1024 * 1024)
+    # fp32 scores tile ~1.5x for fused exp temporaries
+    block_q = int(avail // int(4 * S_est * 1.5 * n_rep))
+    return max(64, min(512, (block_q // 64) * 64))
+
+
+def _flash_fwd_hm(
+    qt: jnp.ndarray,  # (B, H, S_pad, D_pad) head-major
+    kt: jnp.ndarray,  # (B, Hk, S_pad, D_pad)
+    vt: jnp.ndarray,
     kv_start: jnp.ndarray,  # (B,) int32
-    key_mask: Optional[jnp.ndarray],  # (B, S) int32 1=valid, or None
+    key_mask: Optional[jnp.ndarray],  # (B, S_pad) int32 1=valid, or None
     causal: bool,
     sliding_window: Optional[int],
     scale: float,
-    block_q: Optional[int] = None,
+    q_len: int,
+    block_q: int,
 ) -> jnp.ndarray:
-    """GQA runs natively: q is laid out rep-interleaved per block so ONE
-    K/V residency per kv head serves all its query reps (n_rep x less KV
-    DMA for e.g. Qwen's 28q/4kv heads)."""
-    B, S, H, D = q.shape
-    Hk = k.shape[2]
+    """Head-major flash core -> (B, H, S_pad, D_pad). GQA runs natively:
+    each grid step's q block spans all n_rep reps of one kv head (dim-1
+    block of n_rep), so ONE K/V residency serves them (n_rep x less KV DMA
+    for e.g. Qwen's 28q/4kv heads)."""
+    B, H, S_pad, D_pad = qt.shape
+    Hk = kt.shape[1]
     n_rep = H // Hk
-
-    # Mosaic tiles non-128 minors internally; keeping D=96 unpadded skips
-    # three full-tensor pad copies per layer (measured -3% decoder time).
-    D_pad = D if D % 32 == 0 else _round_up(D, 128)
-    if block_q is None:
-        # Fit the VMEM budget (~16MB/core): K + V resident (2 * S * D_pad *
-        # itemsize, double-buffered by the pipeline) + fp32 score tile
-        # (n_rep * block_q * S * 4) + q/out tiles. Solve for block_q, clamp
-        # to [64, 512] in VPU-friendly multiples.
-        S_est = _round_up(S, 64)
-        kv_bytes = 2 * 2 * S_est * D_pad * q.dtype.itemsize  # K+V, 2 buffers
-        budget = 14 * 1024 * 1024
-        avail = max(budget - kv_bytes, 2 * 1024 * 1024)
-        # fp32 scores tile ~1.5x for fused exp temporaries; 512 measured ~4%
-        # faster than 256/384 on v5e at S=2560
-        block_q = int(avail // int(4 * S_est * 1.5 * n_rep))
-        block_q = max(64, min(512, (block_q // 64) * 64))
-    S_pad = _round_up(S, block_q)
-    if D_pad != D:
-        pad = [(0, 0), (0, 0), (0, 0), (0, D_pad - D)]
-        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
-    if S_pad != S:
-        pad = [(0, 0), (0, S_pad - S), (0, 0), (0, 0)]
-        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
-    if key_mask is not None and key_mask.shape[1] != S_pad:
-        key_mask = jnp.pad(key_mask, [(0, 0), (0, S_pad - key_mask.shape[1])])
-
     nq = S_pad // block_q
-    # (B, Hk, nq, n_rep, block_q, D): each grid step's q block holds all the
-    # reps of one kv head for one block of positions
-    qt = q.transpose(0, 2, 1, 3).reshape(B, Hk, n_rep, nq, block_q, D_pad)
-    qt = qt.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hk, nq * n_rep * block_q, D_pad)
-    kt = k.transpose(0, 2, 1, 3)  # (B, Hk, S_pad, D)
-    vt = v.transpose(0, 2, 1, 3)
-
     grid = (B, Hk, nq)
 
     kernel = functools.partial(
@@ -154,24 +141,24 @@ def _flash_fwd(
         scale=scale,
         causal=causal,
         sliding_window=sliding_window,
-        q_len=S,
+        q_len=q_len,
         block_q=block_q,
         has_mask=key_mask is not None,
     )
 
     in_specs = [
         pl.BlockSpec(
-            (1, 1, n_rep * block_q, D_pad),
+            (None, n_rep, block_q, D_pad),
             lambda b, h, qi, *prefetch: (b, h, qi, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (1, 1, S_pad, D_pad),
+            (None, None, S_pad, D_pad),
             lambda b, h, qi, *prefetch: (b, h, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (1, 1, S_pad, D_pad),
+            (None, None, S_pad, D_pad),
             lambda b, h, qi, *prefetch: (b, h, 0, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -188,7 +175,7 @@ def _flash_fwd(
         operands.append(key_mask.astype(jnp.int32)[:, None, :])
 
     interpret = jax.devices()[0].platform != "tpu"  # CPU tests run interpreted
-    out = pl.pallas_call(
+    return pl.pallas_call(
         kernel,
         interpret=interpret,
         grid_spec=pltpu.PrefetchScalarGridSpec(
@@ -196,12 +183,12 @@ def _flash_fwd(
             grid=grid,
             in_specs=in_specs,
             out_specs=pl.BlockSpec(
-                (1, 1, n_rep * block_q, D_pad),
+                (None, n_rep, block_q, D_pad),
                 lambda b, h, qi, *prefetch: (b, h, qi, 0),
                 memory_space=pltpu.VMEM,
             ),
         ),
-        out_shape=jax.ShapeDtypeStruct((B, Hk, nq * n_rep * block_q, D_pad), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, H, S_pad, D_pad), qt.dtype),
         cost_estimate=pl.CostEstimate(
             flops=4 * B * H * S_pad * S_pad * D_pad,
             bytes_accessed=(qt.size + kt.size + vt.size) * qt.dtype.itemsize,
@@ -209,9 +196,48 @@ def _flash_fwd(
         ),
     )(kv_start.astype(jnp.int32), *operands)
 
-    # undo the rep-interleaved block layout -> (B, S, H, D)
-    out = out.reshape(B, Hk, nq, n_rep, block_q, D_pad)
-    out = out.transpose(0, 1, 3, 2, 4, 5).reshape(B, Hk * n_rep, S_pad, D_pad)
+
+def _flash_fwd(
+    q: jnp.ndarray,  # (B, S, H, D)
+    k: jnp.ndarray,  # (B, S, Hk, D)
+    v: jnp.ndarray,
+    kv_start: jnp.ndarray,  # (B,) int32
+    key_mask: Optional[jnp.ndarray],  # (B, S) int32 1=valid, or None
+    causal: bool,
+    sliding_window: Optional[int],
+    scale: float,
+    block_q: Optional[int] = None,
+) -> jnp.ndarray:
+    """(B, S, H, D) entry: transpose to head-major, run the core, transpose
+    back. The fused decoder path (fused_qkv_attention) skips these
+    transposes entirely by emitting head-major q/k/v from the prep kernel."""
+    B, S, H, D = q.shape
+    Hk = k.shape[2]
+    n_rep = H // Hk
+
+    # Mosaic tiles non-128 minors internally; keeping D=96 unpadded skips
+    # three full-tensor pad copies per layer (measured -3% decoder time).
+    D_pad = D if D % 32 == 0 else _round_up(D, 128)
+    if block_q is None:
+        block_q = _pick_block_q(S, D_pad, n_rep, q.dtype.itemsize)
+    S_pad = _round_up(S, block_q)
+    if D_pad != D:
+        pad = [(0, 0), (0, 0), (0, 0), (0, D_pad - D)]
+        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+    if S_pad != S:
+        pad = [(0, 0), (0, S_pad - S), (0, 0), (0, 0)]
+        q, k, v = (jnp.pad(x, pad) for x in (q, k, v))
+    if key_mask is not None and key_mask.shape[1] != S_pad:
+        key_mask = jnp.pad(key_mask, [(0, 0), (0, S_pad - key_mask.shape[1])])
+
+    qt = q.transpose(0, 2, 1, 3)  # (B, H, S_pad, D)
+    kt = k.transpose(0, 2, 1, 3)  # (B, Hk, S_pad, D)
+    vt = v.transpose(0, 2, 1, 3)
+
+    out = _flash_fwd_hm(
+        qt, kt, vt, kv_start, key_mask, causal, sliding_window, scale,
+        q_len=S, block_q=block_q,
+    )
     out = out.transpose(0, 2, 1, 3)
     return out[:, :S, :, :D]
 
@@ -324,4 +350,232 @@ def flash_attention(
         sliding_window = None
     return _flash_attention_core(
         q, k, v, kv_start, key_mask, causal, sliding_window, scale
+    )
+
+
+# --------------------------------------------------------------------------
+# Fused rope+transpose prep kernel + fused decoder attention entry.
+#
+# The decoder's fused qkv matmul emits (B, S, q_size + 2*kv_size). Getting
+# from there to the head-major layout the flash core wants costs XLA a
+# reshape + rope elementwise pass + (B,S,H,D)->(B,H,S,D) transposes —
+# measured ~5.5 ms/layer at the reward shapes (B8 S2560 H32 D96, PERF.md).
+# The prep kernel below streams the qkv tensor once, column-sliced by head
+# groups, applies RoPE in-VMEM and writes (B, n_heads, S, D) directly.
+# --------------------------------------------------------------------------
+
+
+def _prep_kernel(x_ref, cos_ref, sin_ref, o_ref, *, g, D, rope):
+    x = x_ref[...]  # (block_s, g*D)
+    if rope:
+        cos = cos_ref[...]  # (block_s, D)
+        sin = sin_ref[...]
+        half = D // 2
+    for j in range(g):
+        h = x[:, j * D : (j + 1) * D]
+        if rope:
+            # rotate_half via static lane slices (pltpu.roll can't rotate
+            # non-128 lane widths)
+            rot = jnp.concatenate([-h[:, half:], h[:, :half]], axis=1)
+            h = h * cos + rot * sin
+        o_ref[j] = h
+
+
+def _prep_group_size(n_heads: int, D: int) -> Optional[int]:
+    """Largest head-group g with (g*D) % 128 == 0 and n_heads % g == 0 —
+    the column-block constraint of the prep kernel."""
+    for g in (16, 8, 4, 2, 1):
+        if n_heads % g == 0 and (g * D) % 128 == 0:
+            return g
+    return None
+
+
+def _prep_block_s(S: int) -> Optional[int]:
+    for bs in (512, 256, 320, 128, 64, 8):
+        if S % bs == 0:
+            return bs
+    return None
+
+
+def rope_transpose(
+    x: jnp.ndarray,  # (B, S, C) projection output (fused or single)
+    cos: Optional[jnp.ndarray],  # (B, S, D) or None for no rope
+    sin: Optional[jnp.ndarray],
+    *,
+    col_offset: int,  # start column of this tensor's heads inside x
+    n_heads: int,
+    head_dim: int,
+) -> jnp.ndarray:
+    """-> (B, n_heads, S, head_dim), roped iff cos is not None. Caller must
+    check fused_path_supported() first."""
+    B, S, C = x.shape
+    D = head_dim
+    g = _prep_group_size(n_heads, D)
+    block_s = _prep_block_s(S)
+    assert g is not None and block_s is not None and col_offset % (g * D) == 0
+    base = col_offset // (g * D)
+    rope = cos is not None
+    if not rope:  # dummy operands keep one kernel signature
+        cos = jnp.zeros((B, S, D), x.dtype)
+        sin = cos
+    kernel = functools.partial(_prep_kernel, g=g, D=D, rope=rope)
+    interpret = jax.devices()[0].platform != "tpu"
+    return pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid=(B, n_heads // g, S // block_s),
+        in_specs=[
+            pl.BlockSpec(
+                (None, block_s, g * D),
+                lambda b, gi, si: (b, si, base + gi),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, block_s, D),
+                lambda b, gi, si: (b, si, 0),
+                memory_space=pltpu.VMEM,
+            ),
+            pl.BlockSpec(
+                (None, block_s, D),
+                lambda b, gi, si: (b, si, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (None, g, block_s, D),
+            lambda b, gi, si: (b, gi, si, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        out_shape=jax.ShapeDtypeStruct((B, n_heads, S, D), x.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=6 * B * S * n_heads * D,
+            bytes_accessed=2 * B * S * n_heads * D * x.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )(x, cos, sin)
+
+
+def fused_path_supported(
+    S: int, n_heads: int, n_kv_heads: int, head_dim: int
+) -> bool:
+    """The fused qkv attention path needs: head groups whose column width is
+    a 128 multiple, an S that divides into prep blocks AND into flash q
+    blocks, and head_dim lane-compatible without padding."""
+    if _prep_group_size(n_heads, head_dim) is None:
+        return False
+    if n_kv_heads != n_heads and _prep_group_size(n_kv_heads, head_dim) is None:
+        return False
+    if _prep_block_s(S) is None:
+        return False
+    if head_dim % 32 != 0:
+        return False
+    block_q = _pick_block_q(S, head_dim, n_heads // n_kv_heads, 2)
+    return S % block_q == 0 or S % 256 == 0 or S % 64 == 0
+
+
+def _fused_qkv_attention_fwd_impl(
+    qkv, cos, sin, kv_start, key_mask, *,
+    n_heads, n_kv_heads, head_dim, causal, sliding_window, scale,
+):
+    B, S, _ = qkv.shape
+    D = head_dim
+    qsz = n_heads * D
+    kvsz = n_kv_heads * D
+    qt = rope_transpose(qkv, cos, sin, col_offset=0, n_heads=n_heads, head_dim=D)
+    kt = rope_transpose(qkv, cos, sin, col_offset=qsz, n_heads=n_kv_heads, head_dim=D)
+    vt = rope_transpose(qkv, None, None, col_offset=qsz + kvsz,
+                        n_heads=n_kv_heads, head_dim=D)
+    n_rep = n_heads // n_kv_heads
+    block_q = _pick_block_q(S, D, n_rep, qkv.dtype.itemsize)
+    while S % block_q != 0:
+        block_q -= 64
+    out = _flash_fwd_hm(
+        qt, kt, vt, kv_start, key_mask, causal, sliding_window, scale,
+        q_len=S, block_q=block_q,
+    )  # (B, H, S, D)
+    return out.transpose(0, 2, 1, 3).reshape(B, S, qsz)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))
+def _fused_core(qkv, cos, sin, kv_start, key_mask,
+                n_heads, n_kv_heads, head_dim, causal, sliding_window, scale):
+    return _fused_qkv_attention_fwd_impl(
+        qkv, cos, sin, kv_start, key_mask,
+        n_heads=n_heads, n_kv_heads=n_kv_heads, head_dim=head_dim,
+        causal=causal, sliding_window=sliding_window, scale=scale,
+    )
+
+
+def _fused_core_fwd(qkv, cos, sin, kv_start, key_mask,
+                    n_heads, n_kv_heads, head_dim, causal, sliding_window, scale):
+    out = _fused_qkv_attention_fwd_impl(
+        qkv, cos, sin, kv_start, key_mask,
+        n_heads=n_heads, n_kv_heads=n_kv_heads, head_dim=head_dim,
+        causal=causal, sliding_window=sliding_window, scale=scale,
+    )
+    return out, (qkv, cos, sin, kv_start, key_mask)
+
+
+def _fused_core_bwd(n_heads, n_kv_heads, head_dim, causal, sliding_window, scale,
+                    res, g):
+    """Backward = VJP of (split + rope) chained with the HEAD-CHUNKED
+    attention backward (_core_bwd) so the (B, H, S, S) probs tensor never
+    materialises whole; a fused backward kernel is the eventual
+    replacement (PERF.md)."""
+    from .rope import apply_rotary
+
+    qkv, cos, sin, kv_start, key_mask = res
+    B, S, _ = qkv.shape
+    D = head_dim
+    qsz, kvsz = n_heads * D, n_kv_heads * D
+
+    def front(qkv_in):
+        q = qkv_in[..., :qsz].reshape(B, S, n_heads, D)
+        k = qkv_in[..., qsz : qsz + kvsz].reshape(B, S, n_kv_heads, D)
+        v = qkv_in[..., qsz + kvsz :].reshape(B, S, n_kv_heads, D)
+        q, k = apply_rotary(q, k, cos, sin)
+        return q, k, v
+
+    (q, k, v), front_vjp = jax.vjp(front, qkv)
+    dq, dk, dv, _, _ = _core_bwd(
+        causal, sliding_window, scale, (q, k, v, kv_start, key_mask),
+        g.reshape(B, S, n_heads, D),
+    )
+    (dqkv,) = front_vjp((dq, dk, dv))
+    zeros = jnp.zeros_like(cos)
+    return dqkv, zeros, zeros, None, None
+
+
+_fused_core.defvjp(_fused_core_fwd, _fused_core_bwd)
+
+
+def fused_qkv_attention(
+    qkv: jnp.ndarray,  # (B, S, q_size + 2*kv_size) fused projection output
+    cos: jnp.ndarray,  # (B, S, head_dim)
+    sin: jnp.ndarray,
+    *,
+    n_heads: int,
+    n_kv_heads: int,
+    head_dim: int,
+    causal: bool = True,
+    key_padding_mask: Optional[jnp.ndarray] = None,  # (B, S) left-pad
+    sliding_window: Optional[int] = None,
+    scale: Optional[float] = None,
+) -> jnp.ndarray:
+    """RoPE + flash attention straight from the fused qkv projection,
+    returning (B, S, n_heads*head_dim) ready for o_proj — no XLA layout
+    transposes anywhere on the path. Caller gates on
+    fused_path_supported()."""
+    B, S, _ = qkv.shape
+    if scale is None:
+        scale = 1.0 / (head_dim ** 0.5)
+    if key_padding_mask is None:
+        kv_start = jnp.zeros((B,), jnp.int32)
+    else:
+        kv_start = jnp.sum(1 - key_padding_mask.astype(jnp.int32), axis=-1)
+    if sliding_window is not None and sliding_window >= S:
+        sliding_window = None
+    return _fused_core(
+        qkv, cos, sin, kv_start, None,
+        n_heads, n_kv_heads, head_dim, causal, sliding_window, scale,
     )

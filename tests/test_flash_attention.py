@@ -147,6 +147,64 @@ def test_flash_arbitrary_mask_backward(rng):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-3)
 
 
+def test_fused_qkv_attention_matches_fallback(rng):
+    """fused prep-kernel + head-major flash path (interpret mode on CPU) vs
+    the split+rope+xla fallback of fused_rope_attention."""
+    from llava_reward_tpu.ops.attention import fused_rope_attention
+    from llava_reward_tpu.ops.flash_attention import fused_path_supported
+    from llava_reward_tpu.ops.rope import compute_rope_cos_sin
+
+    B, S, H, D = 2, 512, 4, 64
+    assert fused_path_supported(S, H, H, D)
+    qkv = jnp.asarray(_rand(rng, B, S, 3 * H * D))
+    pos = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+    cos, sin = compute_rope_cos_sin(pos, D, dtype=jnp.float32)
+    mask = np.ones((B, S), np.int32)
+    mask[0, :31] = 0
+
+    kw = dict(
+        n_heads=H, n_kv_heads=H, head_dim=D, causal=True,
+        key_padding_mask=jnp.asarray(mask),
+    )
+    fused = fused_rope_attention(qkv, cos, sin, impl="pallas", **kw)
+    ref = fused_rope_attention(qkv, cos, sin, impl="xla", **kw)
+    valid = mask.astype(bool)
+    np.testing.assert_allclose(
+        np.asarray(fused)[valid], np.asarray(ref)[valid], rtol=2e-4, atol=2e-4
+    )
+
+
+def test_fused_qkv_attention_gqa_and_grad(rng):
+    from llava_reward_tpu.ops.attention import fused_rope_attention
+    from llava_reward_tpu.ops.flash_attention import fused_path_supported
+    from llava_reward_tpu.ops.rope import compute_rope_cos_sin
+
+    B, S, H, Hk, D = 1, 256, 4, 2, 64
+    assert fused_path_supported(S, H, Hk, D)
+    qkv = jnp.asarray(_rand(rng, B, S, (H + 2 * Hk) * D))
+    pos = jnp.broadcast_to(jnp.arange(S)[None], (B, S))
+    cos, sin = compute_rope_cos_sin(pos, D, dtype=jnp.float32)
+    mask = np.ones((B, S), np.int32)
+    mask[0, :9] = 0
+    w = jnp.asarray(mask.astype(np.float32))[:, :, None]
+
+    def loss(impl):
+        def f(qkv):
+            out = fused_rope_attention(
+                qkv, cos, sin, n_heads=H, n_kv_heads=Hk, head_dim=D,
+                causal=True, key_padding_mask=jnp.asarray(mask), impl=impl,
+            )
+            return jnp.sum((out * w) ** 2)
+        return f
+
+    fused_val, fused_grad = jax.value_and_grad(loss("pallas"))(qkv)
+    ref_val, ref_grad = jax.value_and_grad(loss("xla"))(qkv)
+    np.testing.assert_allclose(float(fused_val), float(ref_val), rtol=1e-4)
+    np.testing.assert_allclose(
+        np.asarray(fused_grad), np.asarray(ref_grad), rtol=1e-3, atol=1e-3
+    )
+
+
 def test_flash_bf16(rng):
     B, S, H, D = 1, 256, 2, 96
     q, k, v = (
