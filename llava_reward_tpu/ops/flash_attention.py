@@ -47,6 +47,7 @@ def _fa_kernel(
     q_len: int,
     block_q: int,
     has_mask: bool = False,
+    q_offset: int = 0,  # static q-position offset (causal block-skip calls)
 ):
     if has_mask:
         mask_ref, o_ref = rest
@@ -66,7 +67,7 @@ def _fa_kernel(
     ) * scale  # (n_rep*Bq, S)
 
     row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
-    q_pos = qi * block_q + (row % block_q)  # rep-invariant positions
+    q_pos = q_offset + qi * block_q + (row % block_q)  # rep-invariant positions
     k_pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
 
     mask = k_pos < q_len  # right-pad tail from block rounding
@@ -114,8 +115,8 @@ def _pick_block_q(S: int, D_pad: int, n_rep: int, itemsize: int) -> int:
     return max(64, min(512, (block_q // 64) * 64))
 
 
-def _flash_fwd_hm(
-    qt: jnp.ndarray,  # (B, H, S_pad, D_pad) head-major
+def _flash_fwd_hm_call(
+    qt: jnp.ndarray,  # (B, H, S_pad, D_pad) head-major (FULL tensor)
     kt: jnp.ndarray,  # (B, Hk, S_pad, D_pad)
     vt: jnp.ndarray,
     kv_start: jnp.ndarray,  # (B,) int32
@@ -125,16 +126,17 @@ def _flash_fwd_hm(
     scale: float,
     q_len: int,
     block_q: int,
+    q_block0: int,  # first q block this call covers
+    n_q_blocks: int,  # number of q blocks this call covers
+    k_ext: int,  # static key extent (rows of K/V read), multiple of block_q
 ) -> jnp.ndarray:
-    """Head-major flash core -> (B, H, S_pad, D_pad). GQA runs natively:
-    each grid step's q block spans all n_rep reps of one kv head (dim-1
-    block of n_rep), so ONE K/V residency serves them (n_rep x less KV DMA
-    for e.g. Qwen's 28q/4kv heads)."""
+    """One pallas_call covering q blocks [q_block0, q_block0+n_q_blocks) and
+    keys [0, k_ext). Slicing rides in the BlockSpecs (no HBM copies).
+    Returns (B, H, n_q_blocks*block_q, D_pad)."""
     B, H, S_pad, D_pad = qt.shape
     Hk = kt.shape[1]
     n_rep = H // Hk
-    nq = S_pad // block_q
-    grid = (B, Hk, nq)
+    grid = (B, Hk, n_q_blocks)
 
     kernel = functools.partial(
         _fa_kernel,
@@ -144,21 +146,22 @@ def _flash_fwd_hm(
         q_len=q_len,
         block_q=block_q,
         has_mask=key_mask is not None,
+        q_offset=q_block0 * block_q,
     )
 
     in_specs = [
         pl.BlockSpec(
             (None, n_rep, block_q, D_pad),
-            lambda b, h, qi, *prefetch: (b, h, qi, 0),
+            lambda b, h, qi, *prefetch: (b, h, q_block0 + qi, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (None, None, S_pad, D_pad),
+            (None, None, k_ext, D_pad),
             lambda b, h, qi, *prefetch: (b, h, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         pl.BlockSpec(
-            (None, None, S_pad, D_pad),
+            (None, None, k_ext, D_pad),
             lambda b, h, qi, *prefetch: (b, h, 0, 0),
             memory_space=pltpu.VMEM,
         ),
@@ -167,7 +170,7 @@ def _flash_fwd_hm(
     if key_mask is not None:
         in_specs.append(
             pl.BlockSpec(
-                (None, 1, S_pad),
+                (None, 1, k_ext),
                 lambda b, h, qi, *prefetch: (b, 0, 0),
                 memory_space=pltpu.VMEM,
             )
@@ -188,13 +191,61 @@ def _flash_fwd_hm(
                 memory_space=pltpu.VMEM,
             ),
         ),
-        out_shape=jax.ShapeDtypeStruct((B, H, S_pad, D_pad), qt.dtype),
+        out_shape=jax.ShapeDtypeStruct(
+            (B, H, n_q_blocks * block_q, D_pad), qt.dtype
+        ),
         cost_estimate=pl.CostEstimate(
-            flops=4 * B * H * S_pad * S_pad * D_pad,
-            bytes_accessed=(qt.size + kt.size + vt.size) * qt.dtype.itemsize,
-            transcendentals=B * H * S_pad * S_pad,
+            flops=4 * B * H * n_q_blocks * block_q * k_ext * D_pad,
+            bytes_accessed=(
+                B * H * n_q_blocks * block_q * D_pad
+                + 2 * B * Hk * k_ext * D_pad
+            ) * qt.dtype.itemsize,
+            transcendentals=B * H * n_q_blocks * block_q * k_ext,
         ),
     )(kv_start.astype(jnp.int32), *operands)
+
+
+def _flash_fwd_hm(
+    qt: jnp.ndarray,  # (B, H, S_pad, D_pad) head-major
+    kt: jnp.ndarray,  # (B, Hk, S_pad, D_pad)
+    vt: jnp.ndarray,
+    kv_start: jnp.ndarray,  # (B,) int32
+    key_mask: Optional[jnp.ndarray],  # (B, S_pad) int32 1=valid, or None
+    causal: bool,
+    sliding_window: Optional[int],
+    scale: float,
+    q_len: int,
+    block_q: int,
+) -> jnp.ndarray:
+    """Head-major flash core -> (B, H, S_pad, D_pad). GQA runs natively:
+    each grid step's q block spans all n_rep reps of one kv head (dim-1
+    block of n_rep), so ONE K/V residency serves them (n_rep x less KV DMA
+    for e.g. Qwen's 28q/4kv heads).
+
+    Causal block-skip: for causal attention, q block qi only needs keys
+    [0, (qi+1)*block_q) — issue one pallas_call per q block with a STATIC
+    key extent (sliced in the BlockSpec, zero copies) instead of scoring
+    the full row and masking. Compute drops to (nq+1)/(2nq) of full
+    (~55-60%) while keeping the simple one-softmax kernel the full-row
+    benchmarks favoured over online-softmax (PERF.md)."""
+    B, H, S_pad, D_pad = qt.shape
+    nq = S_pad // block_q
+
+    if causal and nq > 1:
+        outs = [
+            _flash_fwd_hm_call(
+                qt, kt, vt, kv_start, key_mask, causal, sliding_window,
+                scale, q_len, block_q,
+                q_block0=qi, n_q_blocks=1, k_ext=(qi + 1) * block_q,
+            )
+            for qi in range(nq)
+        ]
+        return jnp.concatenate(outs, axis=2)
+
+    return _flash_fwd_hm_call(
+        qt, kt, vt, kv_start, key_mask, causal, sliding_window, scale,
+        q_len, block_q, q_block0=0, n_q_blocks=nq, k_ext=S_pad,
+    )
 
 
 def _flash_fwd(
