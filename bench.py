@@ -6,12 +6,20 @@ Measures image-text PAIRS/sec/chip for the full-size Phi-3.5-V reward
 forward (4.2B decoder + CLIP ViT-L/14-336 on 17 crops, bf16, GPM dim-2 +
 SkipCA, seq 2560 covering the 4x4-crop 2509-token image budget).
 
-vs_baseline is computed against BASELINE_PAIRS_PER_SEC: an estimate of the
-reference PyTorch stack's per-chip throughput (eager HF + flash-attn, bf16,
-batch~4) derived from its per-pair compute (~55 TFLOP: 2*4.2e9*2560*2 seqs
-+ CLIP 2*0.3e9*577*17*2) at ~35% utilisation of an A100's 312 TFLOP/s
-≈ 2.0 pairs/sec. Replace with a measured number when a GPU baseline run is
-available (BASELINE.md records none — the repo publishes no benchmarks).
+vs_baseline is computed against BASELINE_PAIRS_PER_SEC — an ESTIMATE, not a
+measurement (no GPU exists in this environment and the reference repo
+publishes no numbers, BASELINE.md). Derivation (documented + emitted in the
+JSON as baseline_provenance):
+
+  per-pair FLOPs  = 2 seqs x [decoder 2*4.2e9 params*2560 tok = 21.5 TF
+                    + CLIP 17 crops * 2*0.303e9*577 = 6.0 TF] = 55 TF
+  A100-80GB bf16 dense peak = 312 TF/s; HF eager + flash-attn-2 inference
+  lands at 30-40% MFU on decoder-dominated workloads
+  -> 312*0.35/55 = 2.0 pairs/s (range 1.7-2.3 at 30-40% MFU).
+
+The sensitivity range rides in baseline_range. A measured replacement needs
+GPU hardware: run eval/batch_inference_rm_phi.py (its :92-102 timing hook)
+on the published HF checkpoints and substitute the measured pairs/s here.
 
 Env knobs: BENCH_BATCH (pairs, default 4), BENCH_STEPS (default 8),
 BENCH_SEQ (default 2560), BENCH_TINY=1 for a smoke run on CPU,
@@ -215,6 +223,10 @@ def main():
                 "value": round(value, 4),
                 "unit": "pairs/s/chip",
                 "vs_baseline": round(value / BASELINE_PAIRS_PER_SEC, 4),
+                "baseline": BASELINE_PAIRS_PER_SEC,
+                "baseline_provenance": "estimated: 55 TF/pair at 35% MFU of "
+                "A100-312TF/s (see module docstring; no GPU in env to measure)",
+                "baseline_range_pairs_per_sec": [1.7, 2.3],
             }
         )
     )

@@ -16,7 +16,8 @@ import json
 
 def main():
     p = argparse.ArgumentParser()
-    p.add_argument("--pretrain", required=True)
+    p.add_argument("--pretrain", default=None,
+                   help="base checkpoint dir; defaults to --pm_path (full-FT mode)")
     p.add_argument("--pm_path", required=True)
     p.add_argument("--model_type", default="phi3v", choices=["phi3v", "qwen", "llava"])
     p.add_argument("--dataset", required=True)
@@ -24,12 +25,27 @@ def main():
     p.add_argument("--image_root", default=None)
     p.add_argument("--max_samples", type=int, default=None)
     p.add_argument("--micro_batch_size", type=int, default=8)
-    p.add_argument("--seq_len", type=int, default=2944)
+    p.add_argument("--seq_len", "--max_len", type=int, default=2944)
     p.add_argument("--num_workers", type=int, default=8)
     p.add_argument("--ft_projector", action="store_true", default=True)
     p.add_argument("--profile_dir", default=None)
     p.add_argument("--attn_impl", default="auto", choices=["auto", "pallas", "xla"])
+    # reference ft-phi harness parity (batch_inference_rm_ft_phi.py:28-55):
+    # full-FT checkpoints are loaded straight from pm_path and the reward
+    # config may be given on the CLI instead of reward_config.yaml
+    p.add_argument("--full_ft", action="store_true",
+                   help="load a full-finetune checkpoint from pm_path (no lora/)")
+    p.add_argument("--cls_based", action="store_true",
+                   help="force the pointwise classification path")
+    p.add_argument("--is_general_preference", action="store_true", default=None)
+    p.add_argument("--add_cross_attention", action="store_true", default=None)
+    p.add_argument("--value_head_dim", type=int, default=None)
+    p.add_argument("--general_preference_tau", type=float, default=None)
+    p.add_argument("--is_custom_dataset", action="store_true",
+                   help="accepted for reference CLI parity (format is sniffed)")
     args = p.parse_args()
+    if args.pretrain is None:
+        args.pretrain = args.pm_path  # full-FT layout: base + head in one dir
 
     import jax.numpy as jnp
     from transformers import AutoTokenizer
@@ -42,10 +58,47 @@ def main():
     family = get_family(args.model_type)
     adaptor = load_reward_adaptor(
         args.pretrain, args.pm_path, model_type=args.model_type,
-        ft_projector=args.ft_projector, compute_dtype=jnp.bfloat16,
+        ft_projector=args.ft_projector and not args.full_ft,
+        compute_dtype=jnp.bfloat16,
     )
-    tokenizer = AutoTokenizer.from_pretrained(args.pretrain, trust_remote_code=True)
-    family.tokenizer_setup(tokenizer)
+    # CLI reward-config overrides (reference passes these for ft checkpoints)
+    if args.is_general_preference is not None:
+        adaptor.rcfg.is_general_preference = args.is_general_preference
+    if args.add_cross_attention is not None:
+        adaptor.rcfg.add_cross_attention = args.add_cross_attention
+    if args.value_head_dim is not None:
+        adaptor.rcfg.value_head_dim = args.value_head_dim
+    if args.general_preference_tau is not None:
+        adaptor.rcfg.general_preference_tau = args.general_preference_tau
+    try:
+        tokenizer = AutoTokenizer.from_pretrained(args.pretrain, trust_remote_code=True)
+        family.tokenizer_setup(tokenizer)
+    except (OSError, ValueError):
+        # checkpoint dir without tokenizer files (e.g. a bare full-FT save):
+        # deterministic hash tokenizer — same smoke fallback as the train CLI
+        print(f"no tokenizer files in {args.pretrain}; using hash tokenizer (smoke)")
+        dec = family.decoder_cfg(adaptor.cfg)
+
+        class _Tok:
+            eos_token = "</s>"
+            pad_token_id = dec.pad_token_id
+
+            def __call__(self, text):
+                return {"input_ids": [hash(t) % 500 + 3 for t in text.split()]}
+
+            def apply_chat_template(self, msgs, tokenize=False, add_generation_prompt=True):
+                def flat(c):
+                    if isinstance(c, str):
+                        return c
+                    return " ".join(
+                        ("<img>" if p.get("type") == "image" else p.get("text", ""))
+                        for p in c
+                    )
+
+                return ("x" * 58 + " "
+                        + " ".join(flat(m["content"]) for m in msgs) + " " + "x" * 22)
+
+        tokenizer = _Tok()
     processor = family.make_processor(tokenizer, adaptor.cfg)
 
     rows, _ = blending_datasets(
@@ -57,7 +110,7 @@ def main():
         batch_size=args.micro_batch_size, seq_len=args.seq_len,
         max_samples=args.max_samples, num_workers=args.num_workers,
         image_root=args.image_root, attn_impl=args.attn_impl,
-        profile_dir=args.profile_dir,
+        profile_dir=args.profile_dir, cls_based=args.cls_based,
     )
     print(json.dumps(metrics, indent=2))
 

@@ -97,7 +97,15 @@ def build_train_parser() -> argparse.ArgumentParser:
     p.add_argument("--adam_offload", action="store_true", default=False)
     p.add_argument("--grad_accum_dtype", type=str, default=None)
     p.add_argument("--disable_trace_cache", action="store_true", default=False)
-    p.add_argument("--load_in_4bit", action="store_true", default=False)
+    p.add_argument(
+        "--load_in_4bit", action="store_true", default=False,
+        help="weight-only 4-bit backbone (default nf4: bitsandbytes NormalFloat4 "
+        "grid + per-64-block absmax, matching the reference's bnb numerics)",
+    )
+    p.add_argument(
+        "--quant_scheme", default="nf4", choices=["nf4", "absmax"],
+        help="4-bit grid: nf4 (bnb-compatible) or absmax symmetric int4",
+    )
     # TPU-native
     p.add_argument("--mesh_dp", type=int, default=1)
     p.add_argument("--mesh_fsdp", type=int, default=-1)

@@ -42,6 +42,7 @@ def batch_rm_inference(
     attn_impl: str = "auto",
     profile_dir: Optional[str] = None,
     progress: bool = True,
+    cls_based: bool = False,
 ) -> Dict[str, float]:
     import jax
     import jax.numpy as jnp
@@ -51,7 +52,9 @@ def batch_rm_inference(
     rows = list(rows)[: max_samples or None]
     family = get_family(adaptor.model_type)
     pad_id = family.decoder_cfg(adaptor.cfg).pad_token_id
-    pairwise = is_pairwise(rows)
+    # format is sniffed from the rows; --cls_based forces the pointwise
+    # classification path (the reference's flag, batch_inference_rm_phi.py:45-48)
+    pairwise = is_pairwise(rows) and not cls_based
 
     ds_cls = family.pairwise_dataset if pairwise else family.pointwise_dataset
     ds = ds_cls(rows, processor, tokenizer, image_root)

@@ -138,3 +138,25 @@ def shard_batch(batch, mesh: Mesh):
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, batch_sharding(mesh, x)), batch
     )
+
+
+def global_batch_from_local(local_batch, mesh: Mesh):
+    """Multi-host data path: each process loads its OWN rows (GroupSampler
+    with num_replicas == jax.process_count()), then the local shards are
+    stitched into one global batch-sharded array per leaf. Replaces the
+    per-rank DistributedSampler + NCCL-implicit global batch of the
+    reference (deepspeed.py:150-171). Single-process: plain shard_batch."""
+    if jax.process_count() == 1:
+        return shard_batch(local_batch, mesh)
+    from jax.experimental import multihost_utils
+
+    def to_global(x):
+        x = np.asarray(x)
+        spec = (
+            P()
+            if x.ndim == 0
+            else P(("dp", "fsdp"), *([None] * (x.ndim - 1)))
+        )
+        return multihost_utils.host_local_array_to_global_array(x, mesh, spec)
+
+    return jax.tree_util.tree_map(to_global, local_batch)

@@ -181,7 +181,7 @@ class RewardTrainer:
                 p, cfg, rcfg, batch, training=False, lora=l, vision_lora=vl
             ).reward
 
-        probs, losses = [], []
+        probs = []
         for batch in self.eval_loader:
             chosen, rejected, c_rate, r_rate = batch
             cb, rb = to_reward_batch(chosen), to_reward_batch(rejected)
@@ -194,8 +194,28 @@ class RewardTrainer:
                 tau=rcfg.general_preference_tau,
             )
             probs.extend(np.asarray(p).tolist())
-        acc = float(np.mean(np.asarray(probs) > 0.5)) if probs else 0.0
-        metrics = {"eval_acc": acc, "eval_mean_prob": float(np.mean(probs)) if probs else 0.0}
+        # multi-host: each process evaluates its data shard; gather all
+        # probs before computing metrics (the reference all_reduces its
+        # logs_dict, rm_trainer_general_preference.py:438-440)
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            gathered = multihost_utils.process_allgather(
+                np.asarray(probs, np.float64)
+            )
+            probs = np.asarray(gathered).reshape(-1).tolist()
+        # full harness metric set (accuracy / tie-excluded / mean prob),
+        # same function as eval_batch_inference (evalx/metrics.py)
+        from ..evalx.metrics import pairwise_metrics
+
+        pm = pairwise_metrics(probs)
+        acc = pm["accuracy"]
+        metrics = {
+            "eval_acc": acc,
+            "eval_acc_wo_tie": pm["accuracy_wo_tie"],
+            "eval_mean_prob": pm["mean_prob"],
+            "eval_num_pairs": pm["num_pairs"],
+        }
         logger.info("eval step %d %s", global_step, metrics)
         if self.save_best_model and acc > self.best_eval_acc:
             self.best_eval_acc = acc

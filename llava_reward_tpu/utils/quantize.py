@@ -2,11 +2,17 @@
 equivalent of the reference's bitsandbytes NF4 path
 (rw_model_general_preference.py:166-175, --load_in_4bit).
 
-Symmetric per-output-channel absmax quantization of the big stacked layer
-weights to int8 (or int4 packed two-per-byte). Weights stay quantized in
-HBM (2x/4x capacity+bandwidth win on the layer reads); the scan body
-dequantizes each layer's weights to the compute dtype right before the
-matmul, and XLA fuses convert+scale into the matmul operand load.
+Three schemes, selected per call:
+- int8 / int4 symmetric per-output-channel absmax (fast, simple grid);
+- **nf4**: the bitsandbytes NormalFloat4 grid — 16 fixed normal-quantile
+  levels with per-64-element-block absmax scaling along the 'in' axis,
+  matching bnb's nf4 blockwise layout so 4-bit-loaded models score the
+  same as the reference's --load_in_4bit.
+
+Weights stay quantized in HBM (2x/4x capacity+bandwidth win on the layer
+reads); the scan body dequantizes each layer's weights to the compute dtype
+right before the matmul, and XLA fuses the gather/convert/scale into the
+matmul operand load.
 """
 
 from __future__ import annotations
@@ -15,10 +21,67 @@ from typing import Any, Dict, Optional
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 # key names encode the bit width so the tree stays all-array (scan-safe)
 _Q8 = "qvalues_i8"
 _Q4 = "qvalues_i4"  # two int4 packed per byte along the 'in' axis
+_QNF4 = "qvalues_nf4"  # two nf4 codes packed per byte along the 'in' axis
+
+# bitsandbytes NF4 grid (functional.py quantile table): 16 levels, the
+# quantiles of N(0,1) normalised to [-1, 1]
+NF4_GRID = np.asarray(
+    [
+        -1.0, -0.6961928009986877, -0.5250730514526367, -0.39491748809814453,
+        -0.28444138169288635, -0.18477343022823334, -0.09105003625154495, 0.0,
+        0.07958029955625534, 0.16093020141124725, 0.2461123913526535,
+        0.33791524171829224, 0.44070982933044434, 0.5626170039176941,
+        0.7229568362236023, 1.0,
+    ],
+    np.float32,
+)
+_NF4_BOUNDARIES = (NF4_GRID[:-1] + NF4_GRID[1:]) / 2  # nearest-level decision
+NF4_BLOCK = 64  # bnb default blocksize
+
+
+def quantize_array_nf4(w: jnp.ndarray, block: int = NF4_BLOCK) -> Dict[str, jnp.ndarray]:
+    """(..., in, out) float -> {'qvalues_nf4', 'scale'} with bnb NF4
+    semantics: per-``block`` absmax along the 'in' axis, codes = nearest of
+    the 16 NF4 levels, two codes packed per byte."""
+    wf = w.astype(jnp.float32)
+    n_in = wf.shape[-2]
+    assert n_in % block == 0, (n_in, block)
+    lead = wf.shape[:-2]
+    nb = n_in // block
+    wb = wf.reshape(*lead, nb, block, wf.shape[-1])
+    absmax = jnp.max(jnp.abs(wb), axis=-2, keepdims=True)  # (..., nb, 1, out)
+    scale = jnp.where(absmax > 0, absmax, 1.0)
+    norm = wb / scale  # in [-1, 1]
+    codes = jnp.searchsorted(
+        jnp.asarray(_NF4_BOUNDARIES), norm.reshape(-1)
+    ).reshape(norm.shape).astype(jnp.int8)  # 0..15
+    codes = codes.reshape(*lead, n_in, wf.shape[-1])
+    lo = codes[..., 0::2, :] & 0x0F
+    hi = (codes[..., 1::2, :] & 0x0F) << 4
+    return {
+        _QNF4: (lo | hi).astype(jnp.int8),
+        "scale": scale.reshape(*lead, nb, wf.shape[-1]).astype(jnp.float32),
+    }
+
+
+def dequantize_array_nf4(qd: Dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndarray:
+    q = qd[_QNF4]
+    lo = q & 0x0F
+    hi = (q >> 4) & 0x0F
+    codes = jnp.stack([lo, hi], axis=-2).reshape(
+        *q.shape[:-2], q.shape[-2] * 2, q.shape[-1]
+    )
+    vals = jnp.take(jnp.asarray(NF4_GRID), codes.astype(jnp.int32))
+    lead = vals.shape[:-2]
+    n_in, n_out = vals.shape[-2], vals.shape[-1]
+    nb = qd["scale"].shape[-2]
+    vals = vals.reshape(*lead, nb, n_in // nb, n_out) * qd["scale"][..., :, None, :]
+    return vals.reshape(*lead, n_in, n_out).astype(dtype)
 
 
 def quantize_array(w: jnp.ndarray, bits: int = 8) -> Dict[str, jnp.ndarray]:
@@ -38,6 +101,8 @@ def quantize_array(w: jnp.ndarray, bits: int = 8) -> Dict[str, jnp.ndarray]:
 
 
 def dequantize_array(qd: Dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndarray:
+    if _QNF4 in qd:
+        return dequantize_array_nf4(qd, dtype)
     if _Q4 in qd:
         q = qd[_Q4]
         lo = (q << 4).astype(jnp.int8) >> 4  # sign-extend low nibble
@@ -51,13 +116,19 @@ def dequantize_array(qd: Dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndar
 
 
 def is_quantized(leaf: Any) -> bool:
-    return isinstance(leaf, dict) and (_Q8 in leaf or _Q4 in leaf)
+    return isinstance(leaf, dict) and (_Q8 in leaf or _Q4 in leaf or _QNF4 in leaf)
 
 
-def quantize_stacked_layers(layers: dict, bits: int = 8, min_size: int = 1 << 20) -> dict:
+def quantize_stacked_layers(
+    layers: dict, bits: int = 8, min_size: int = 1 << 20, scheme: str = "absmax"
+) -> dict:
     """Quantize every large float leaf of a stacked-layer tree (kernels),
     leaving layernorms/biases/small leaves untouched. Handles both bare-array
-    layers (phi3) and {kernel, bias} dicts (qwen/llava)."""
+    layers (phi3) and {kernel, bias} dicts (qwen/llava).
+
+    ``scheme``: 'absmax' (per-out-channel symmetric int) or 'nf4'
+    (bitsandbytes NormalFloat4 blockwise grid — numerics match the
+    reference's --load_in_4bit)."""
 
     def q(leaf):
         if (
@@ -66,6 +137,8 @@ def quantize_stacked_layers(layers: dict, bits: int = 8, min_size: int = 1 << 20
             and leaf.ndim >= 3  # stacked (L, in, out) matrices only
             and leaf.size >= min_size
         ):
+            if scheme == "nf4":
+                return quantize_array_nf4(leaf)
             return quantize_array(leaf, bits)
         return leaf
 

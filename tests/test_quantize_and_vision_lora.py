@@ -135,3 +135,59 @@ def test_vision_lora_trains(rng):
     # vision lora B received nonzero grads (A @ dB path)
     b_after = np.asarray(st.trainable["vision_lora"]["q"]["b"])
     assert np.abs(b_after).sum() > 0
+
+
+def test_nf4_roundtrip_matches_reference_grid(rng):
+    """NF4 (bnb NormalFloat4): per-64-block absmax + nearest of the 16
+    normal-quantile levels (rw_model_general_preference.py:166-175)."""
+    from llava_reward_tpu.utils.quantize import (
+        NF4_GRID,
+        dequantize_array_nf4,
+        quantize_array_nf4,
+    )
+
+    w = rng.standard_normal((2, 128, 32)).astype(np.float32) * 0.02
+    qd = quantize_array_nf4(jnp.asarray(w))
+    assert qd["qvalues_nf4"].shape == (2, 64, 32)  # packed 2/byte
+    assert qd["scale"].shape == (2, 2, 32)  # 128/64 blocks
+    back = np.asarray(dequantize_array_nf4(qd, jnp.float32))
+
+    # independent numpy reimplementation of bnb semantics
+    wb = w.reshape(2, 2, 64, 32)
+    absmax = np.abs(wb).max(axis=-2, keepdims=True)
+    norm = wb / np.where(absmax > 0, absmax, 1.0)
+    codes = np.abs(norm[..., None] - NF4_GRID[None]).argmin(axis=-1)
+    expect = (NF4_GRID[codes] * absmax).reshape(w.shape)
+    np.testing.assert_allclose(back, expect, rtol=0, atol=1e-7)
+
+    # grid values round-trip exactly
+    exact = np.tile(NF4_GRID[None, :, None], (1, 4, 8)).reshape(1, 64, 8)
+    qd2 = quantize_array_nf4(jnp.asarray(exact))
+    back2 = np.asarray(dequantize_array_nf4(qd2, jnp.float32))
+    np.testing.assert_allclose(back2, exact, atol=1e-7)
+
+
+def test_nf4_decoder_forward_close(rng):
+    from llava_reward_tpu.utils.quantize import quantize_stacked_layers
+
+    cfg = phi3v_tiny_config(num_layers=2, hidden_size=64).decoder
+    params = jax.device_get(phi3.init_params(jax.random.PRNGKey(0), cfg))
+    qlayers = quantize_stacked_layers(
+        jax.tree_util.tree_map(jnp.asarray, params["layers"]),
+        scheme="nf4", min_size=0,
+    )
+    B, S = 2, 10
+    ids = rng.integers(0, cfg.vocab_size, (B, S)).astype(np.int32)
+    mask = np.ones((B, S), np.int32)
+    pos = np.arange(S, dtype=np.int32)[None].repeat(B, 0)
+    embeds = params["embed_tokens"][ids]
+    h = phi3.forward(
+        {**params, "layers": jax.tree_util.tree_map(jnp.asarray, params["layers"])},
+        cfg, jnp.asarray(embeds), jnp.asarray(mask), jnp.asarray(pos), attn_impl="xla",
+    ).last_hidden_state
+    hq = phi3.forward(
+        {**params, "layers": qlayers},
+        cfg, jnp.asarray(embeds), jnp.asarray(mask), jnp.asarray(pos), attn_impl="xla",
+    ).last_hidden_state
+    rel = float(jnp.linalg.norm(hq - h) / jnp.linalg.norm(h))
+    assert rel < 0.15, rel  # 4-bit: close but not exact

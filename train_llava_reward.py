@@ -121,17 +121,19 @@ def train(args):
     if full_finetune and args.load_in_4bit:
         raise ValueError("--load_in_4bit requires LoRA (frozen backbone)")
     if args.load_in_4bit:
-        # TPU-native weight-only int4 (the bitsandbytes NF4 stand-in,
-        # rw_model_general_preference.py:166-175)
+        # bitsandbytes-NF4-grid weight-only quantization by default
+        # (rw_model_general_preference.py:166-175); --quant_scheme absmax
+        # selects the simpler symmetric-int4 grid instead
         from llava_reward_tpu.utils.quantize import quantize_stacked_layers
 
+        scheme = getattr(args, "quant_scheme", "nf4")
         dec_key = "decoder" if "decoder" in backbone else "text"
         backbone = dict(backbone)
         backbone[dec_key] = dict(backbone[dec_key])
         backbone[dec_key]["layers"] = quantize_stacked_layers(
-            backbone[dec_key]["layers"], bits=4
+            backbone[dec_key]["layers"], bits=4, scheme=scheme
         )
-        logger.info("frozen decoder weights quantized to int4 (weight-only)")
+        logger.info("frozen decoder weights quantized to 4-bit (%s)", scheme)
     if full_finetune:
         logger.info("lora_rank=0 -> full fine-tuning (backbone trainable)")
         frozen = {"backbone": {k: backbone[k] for k in ("lm_head",) if k in backbone}}
