@@ -97,11 +97,11 @@ def mha(
             on_tpu = jax.devices()[0].platform == "tpu"
         except Exception:
             on_tpu = False
-        # short bidirectional attention (CLIP tower: 577 tokens; qwen vision
-        # windows: 64 patches) measured faster on the XLA path — the kernel
-        # pads D 64->128 and loses half its lanes there, and tiny grids
-        # don't amortise the dispatch
-        if on_tpu and not causal and q.shape[1] <= 1024:
+        # tiny bidirectional rows (qwen vision windows: 64 patches) stay on
+        # XLA; mid-size non-causal (CLIP tower: 577 tokens) goes to the
+        # kernel since the single-block row policy landed (8.2 vs 14.4
+        # ms/layer measured at CLIP shapes, PERF.md)
+        if on_tpu and not causal and q.shape[1] < 256:
             on_tpu = False
         impl = "pallas" if on_tpu else "xla"
     if impl == "pallas":

@@ -271,6 +271,14 @@ def _flash_fwd(
     D_pad = D if D % 32 == 0 else _round_up(D, 128)
     if block_q is None:
         block_q = _pick_block_q(S, D_pad, n_rep, q.dtype.itemsize)
+        # short bidirectional rows (CLIP tower, S=577): a big block would
+        # round S up to it (577 -> 1024, 2.5x wasted scores). One block
+        # covering the 64-aligned row wins when the fp32 score tile fits
+        # VMEM: 12.9 -> 8.2 ms/layer measured at CLIP shapes (PERF.md).
+        if not causal:
+            s64 = _round_up(S, 64)
+            if s64 <= 1024 and n_rep * s64 * s64 * 4 * 1.5 <= 12 * 1024 * 1024:
+                block_q = s64
     S_pad = _round_up(S, block_q)
     if D_pad != D:
         pad = [(0, 0), (0, 0), (0, 0), (0, D_pad - D)]
