@@ -301,6 +301,216 @@ def _flash_fwd(
     return out[:, :S, :, :D]
 
 
+# --------------------------------------------------------------------------
+# Fused backward kernel.
+#
+# Same structure as the forward (full-row softmax per q block, recomputed —
+# cheaper than storing (B,H,S,S) probs): grid (B, kv_head, q_block) with the
+# q-block dim innermost; dq writes per block, dk/dv accumulate in fp32 VMEM
+# scratch across the sequential q-block steps of one (batch, kv-head) and
+# flush on the last step. GQA reps collapse into matmul rows, so dk = ds^T q
+# and dv = p^T g sum over the reps for free. Replaces the head-chunked XLA
+# recompute (VERDICT r1 item 4: the single biggest training-perf lever).
+# --------------------------------------------------------------------------
+
+
+def _fa_bwd_kernel(
+    kv_start_ref,  # SMEM (B,)
+    q_ref,  # (n_rep, Bq, D)
+    k_ref,  # (S, D)
+    v_ref,  # (S, D)
+    g_ref,  # (n_rep, Bq, D) upstream grad
+    *rest,  # [mask_ref,] dq_ref, dk_ref, dv_ref, dk_acc, dv_acc
+    scale: float,
+    causal: bool,
+    sliding_window: Optional[int],
+    q_len: int,
+    block_q: int,
+    n_q_blocks: int,
+    has_mask: bool,
+):
+    if has_mask:
+        mask_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc = rest
+    else:
+        dq_ref, dk_ref, dv_ref, dk_acc, dv_acc = rest
+    b = pl.program_id(0)
+    qi = pl.program_id(2)
+
+    n_rep, Bq, D = q_ref.shape
+    q = q_ref[...].reshape(n_rep * Bq, D)
+    g = g_ref[...].reshape(n_rep * Bq, D)
+    k = k_ref[...]
+    v = v_ref[...]
+
+    scores = jax.lax.dot_general(
+        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    ) * scale  # (R, S)
+
+    row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
+    q_pos = qi * block_q + (row % block_q)
+    k_pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
+    mask = k_pos < q_len
+    mask &= k_pos >= kv_start_ref[b]
+    if has_mask:
+        mask &= mask_ref[0, :][None, :] != 0
+    if causal:
+        mask &= k_pos <= q_pos
+        if sliding_window is not None:
+            mask &= k_pos > q_pos - sliding_window
+    scores = jnp.where(mask, scores, NEG_INF)
+
+    m = jnp.max(scores, axis=-1, keepdims=True)
+    e = jnp.exp(scores - m)
+    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (R, S) fp32
+
+    # dp = g V^T ; softmax VJP: ds = p * (dp - rowsum(p * dp))
+    dp = jax.lax.dot_general(
+        g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+    ds = (p * (dp - delta) * scale)  # fp32
+    ds_lp = ds.astype(q.dtype)  # low-precision operand for the MXU
+    p_lp = p.astype(q.dtype)
+
+    dq = jax.lax.dot_general(
+        ds_lp, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+    dq_ref[...] = dq.astype(dq_ref.dtype).reshape(n_rep, Bq, D)
+
+    # dk = ds^T q, dv = p^T g — contraction over the (rep-collapsed) q rows
+    dk_part = jax.lax.dot_general(
+        ds_lp, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )  # (S, D)
+    dv_part = jax.lax.dot_general(
+        p_lp, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+    )
+
+    @pl.when(qi == 0)
+    def _init():
+        dk_acc[...] = dk_part
+        dv_acc[...] = dv_part
+
+    @pl.when(qi > 0)
+    def _accum():
+        dk_acc[...] += dk_part
+        dv_acc[...] += dv_part
+
+    @pl.when(qi == n_q_blocks - 1)
+    def _flush():
+        dk_ref[...] = dk_acc[...].astype(dk_ref.dtype)
+        dv_ref[...] = dv_acc[...].astype(dv_ref.dtype)
+
+
+def _pick_block_q_bwd(S: int, D_pad: int, n_rep: int, itemsize: int) -> int:
+    """Backward VMEM: K+V resident + fp32 dk/dv accumulators (2*S*D*4) +
+    ~4 fp32 (R, S) tiles (scores/p/dp/ds)."""
+    S_est = _round_up(S, 64)
+    fixed = 2 * 2 * S_est * D_pad * itemsize + 2 * S_est * D_pad * 4
+    budget = 13 * 1024 * 1024
+    avail = max(budget - fixed, 2 * 1024 * 1024)
+    block_q = int(avail // int(4 * S_est * 4.5 * n_rep))
+    return max(64, min(256, (block_q // 64) * 64))
+
+
+def _flash_bwd(
+    q: jnp.ndarray,  # (B, S, H, D)
+    k: jnp.ndarray,  # (B, S, Hk, D)
+    v: jnp.ndarray,
+    g: jnp.ndarray,  # (B, S, H, D)
+    kv_start: jnp.ndarray,
+    key_mask: Optional[jnp.ndarray],
+    causal: bool,
+    sliding_window: Optional[int],
+    scale: float,
+):
+    B, S, H, D = q.shape
+    Hk = k.shape[2]
+    n_rep = H // Hk
+    D_pad = D if D % 32 == 0 else _round_up(D, 128)
+    block_q = _pick_block_q_bwd(S, D_pad, n_rep, q.dtype.itemsize)
+    S_pad = _round_up(S, block_q)
+    if D_pad != D:
+        pad = [(0, 0), (0, 0), (0, 0), (0, D_pad - D)]
+        q, k, v, g = (jnp.pad(x, pad) for x in (q, k, v, g))
+    if S_pad != S:
+        pad = [(0, 0), (0, S_pad - S), (0, 0), (0, 0)]
+        q, k, v, g = (jnp.pad(x, pad) for x in (q, k, v, g))
+    if key_mask is not None and key_mask.shape[1] != S_pad:
+        key_mask = jnp.pad(key_mask, [(0, 0), (0, S_pad - key_mask.shape[1])])
+
+    qt = q.transpose(0, 2, 1, 3)
+    kt = k.transpose(0, 2, 1, 3)
+    vt = v.transpose(0, 2, 1, 3)
+    gt = g.transpose(0, 2, 1, 3)
+    nq = S_pad // block_q
+    grid = (B, Hk, nq)
+
+    kernel = functools.partial(
+        _fa_bwd_kernel,
+        scale=scale, causal=causal, sliding_window=sliding_window,
+        q_len=S, block_q=block_q, n_q_blocks=nq,
+        has_mask=key_mask is not None,
+    )
+
+    def qspec():
+        return pl.BlockSpec(
+            (None, n_rep, block_q, D_pad),
+            lambda b, h, qi, *p: (b, h, qi, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    def kvspec():
+        return pl.BlockSpec(
+            (None, None, S_pad, D_pad),
+            lambda b, h, qi, *p: (b, h, 0, 0),
+            memory_space=pltpu.VMEM,
+        )
+
+    in_specs = [qspec(), kvspec(), kvspec(), qspec()]
+    operands = [qt, kt, vt, gt]
+    if key_mask is not None:
+        in_specs.append(
+            pl.BlockSpec(
+                (None, 1, S_pad),
+                lambda b, h, qi, *p: (b, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+        )
+        operands.append(key_mask.astype(jnp.int32)[:, None, :])
+
+    interpret = jax.devices()[0].platform != "tpu"
+    dqt, dkt, dvt = pl.pallas_call(
+        kernel,
+        interpret=interpret,
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=grid,
+            in_specs=in_specs,
+            out_specs=[qspec(), kvspec(), kvspec()],
+            scratch_shapes=[
+                pltpu.VMEM((S_pad, D_pad), jnp.float32),
+                pltpu.VMEM((S_pad, D_pad), jnp.float32),
+            ],
+        ),
+        out_shape=[
+            jax.ShapeDtypeStruct((B, H, S_pad, D_pad), q.dtype),
+            jax.ShapeDtypeStruct((B, Hk, S_pad, D_pad), k.dtype),
+            jax.ShapeDtypeStruct((B, Hk, S_pad, D_pad), v.dtype),
+        ],
+        cost_estimate=pl.CostEstimate(
+            flops=10 * B * H * S_pad * S_pad * D_pad,
+            bytes_accessed=4 * (qt.size + kt.size + vt.size) * q.dtype.itemsize,
+            transcendentals=B * H * S_pad * S_pad,
+        ),
+    )(kv_start.astype(jnp.int32), *operands)
+
+    def back(x, n_heads):
+        x = x.transpose(0, 2, 1, 3)
+        return x[:, :S, :, :D]
+
+    return back(dqt, H), back(dkt, Hk), back(dvt, Hk)
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(5, 6, 7)
 )
@@ -314,10 +524,23 @@ def _core_fwd(q, k, v, kv_start, key_mask, causal, sliding_window, scale):
 
 
 def _core_bwd(causal, sliding_window, scale, res, g):
-    """Backward recomputes attention via the XLA path, CHUNKED over head
-    groups with lax.map so the (B, H, S, S) probs tensor never materialises
-    whole (peak memory / n_chunks). A fused backward kernel is the eventual
-    replacement (PERF.md)."""
+    """Backward via the fused Pallas kernel (recompute-in-kernel, fp32
+    dk/dv accumulators — no (B, H, S, S) tensor anywhere). Set
+    LRT_XLA_ATTN_BWD=1 to fall back to the head-chunked XLA recompute."""
+    import os
+
+    q, k, v, kv_start, key_mask = res
+    if os.environ.get("LRT_XLA_ATTN_BWD") != "1":
+        dq, dk, dv = _flash_bwd(
+            q, k, v, g, kv_start, key_mask, causal, sliding_window, scale
+        )
+        return dq, dk, dv, None, None
+    return _core_bwd_xla(causal, sliding_window, scale, res, g)
+
+
+def _core_bwd_xla(causal, sliding_window, scale, res, g):
+    """Head-chunked XLA recompute (the pre-kernel path, kept as a fallback
+    and as the oracle for kernel-grad parity tests)."""
     q, k, v, kv_start, key_mask = res
     B, S, H, D = q.shape
     if key_mask is not None:

@@ -217,3 +217,57 @@ def test_flash_bf16(rng):
         np.asarray(ref, dtype=np.float32),
         rtol=2e-2, atol=2e-2,
     )
+
+
+@pytest.mark.parametrize(
+    "B,S,H,Hk,D,causal,maskmode",
+    [
+        (2, 192, 4, 4, 64, True, "leftpad"),
+        (2, 192, 4, 2, 64, True, "leftpad"),  # GQA
+        (2, 160, 4, 4, 32, False, "arbitrary"),
+        (1, 128, 2, 2, 96, True, "none"),
+        (2, 192, 4, 4, 64, True, "window"),
+    ],
+)
+def test_fused_backward_kernel_matches_reference(rng, B, S, H, Hk, D, causal, maskmode):
+    """The fused Pallas backward (_fa_bwd_kernel) vs the XLA reference VJP.
+
+    Upstream grads are zeroed at pad positions (as every real loss produces:
+    valid queries never attend to pad keys, so no gradient path exists) —
+    the two implementations then agree everywhere. Fully-masked rows differ
+    only in don't-care garbage (where-mask vs additive-bias semantics)."""
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, Hk, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, Hk, D)), jnp.float32)
+    window = 64 if maskmode == "window" else None
+    kw = {}
+    mask = None
+    if maskmode in ("leftpad", "window"):
+        m = np.ones((B, S), np.int32)
+        m[0, :31] = 0
+        mask = jnp.asarray(m)
+        kw = dict(key_padding_mask=mask, mask_layout="leftpad", sliding_window=window)
+    elif maskmode == "arbitrary":
+        m = (rng.random((B, S)) > 0.2).astype(np.int32)
+        m[:, -1] = 1
+        mask = jnp.asarray(m)
+        kw = dict(key_padding_mask=mask, mask_layout="arbitrary")
+    mv = mask[:, :, None, None].astype(q.dtype) if mask is not None else 1.0
+    w = jnp.cos(jnp.arange(D))
+
+    def f(q, k, v):
+        return (flash_attention(q, k, v, causal=causal, **kw) * w * mv).sum()
+
+    def fr(q, k, v):
+        return (
+            attention_reference(
+                q, k, v, causal=causal, key_padding_mask=mask, sliding_window=window
+            ) * w * mv
+        ).sum()
+
+    ga = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    gb = jax.grad(fr, argnums=(0, 1, 2))(q, k, v)
+    kmask = mask[:, :, None, None].astype(q.dtype) if mask is not None else 1.0
+    for a, b, is_q in zip(ga, gb, (True, False, False)):
+        sel = mv if is_q else kmask
+        assert float(jnp.max(jnp.abs((a - b) * sel))) < 2e-4
