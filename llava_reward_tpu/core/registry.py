@@ -7,6 +7,7 @@ train_llava_reward.py:27-50).
 
 from __future__ import annotations
 
+import os
 from dataclasses import dataclass
 from typing import Any, Callable, Optional, Sequence, Tuple
 
@@ -55,7 +56,13 @@ def _phi3v_family() -> ModelFamily:
         tiny_config=lambda: phi3v_tiny_config(num_crops=4),
         init_params=phi3v.init_params,
         params_from_sd=params_from_hf_state_dict,
-        make_processor=lambda tok, cfg: Phi3VProcessor(tok, num_crops=cfg.num_crops),
+        # device-side preprocessing (u8 crops + on-device normalise/global
+        # bicubic, ops/pixels.py) is the default; LRT_DEVICE_PREPROC=0 opts out
+        make_processor=lambda tok, cfg: Phi3VProcessor(
+            tok,
+            num_crops=cfg.num_crops,
+            device_preproc=os.environ.get("LRT_DEVICE_PREPROC", "1") != "0",
+        ),
         pairwise_dataset=PairwiseRewardDataset,
         pointwise_dataset=PointwiseRewardDataset,
         lora_targets=DEFAULT_TARGETS,

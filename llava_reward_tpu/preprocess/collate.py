@@ -51,7 +51,31 @@ def collate_samples(
     pixel_values = None
     img_gather_idx = None
     num_img_tokens = None
+    crop_grid = None
     if has_image:
+        img_samples = [s for s in samples if s.pixel_values is not None]
+        n_u8 = sum(1 for s in img_samples if s.crop_grid is not None)
+        if 0 < n_u8 < len(img_samples):
+            # mixed batch (rare: extreme-aspect fallback) -> everything f32
+            import dataclasses
+
+            from .phi3v_processor import host_bank_from_u8
+
+            samples = [
+                dataclasses.replace(
+                    s,
+                    pixel_values=host_bank_from_u8(s.pixel_values, s.crop_grid),
+                    crop_grid=None,
+                )
+                if s.pixel_values is not None and s.crop_grid is not None
+                else s
+                for s in samples
+            ]
+            n_u8 = 0
+        if n_u8:
+            return _collate_u8(
+                samples, seq_len, pad_token_id, img_token_budget, crop_buckets
+            )
         ref = next(s for s in samples if s.pixel_values is not None)
         budget = (
             img_token_budget
@@ -118,6 +142,71 @@ def collate_samples(
         pixel_values=pixel_values,
         img_gather_idx=img_gather_idx,
         num_img_tokens=num_img_tokens,
+    )
+
+
+U8_CROP_BUCKETS = (4, 8, 12, 16)  # crops only (the global view is computed on device)
+
+
+def _collate_u8(
+    samples: Sequence[ProcessedSample],
+    seq_len: int,
+    pad_token_id: int,
+    img_token_budget: Optional[int] = None,
+    crop_buckets: Optional[Sequence[int]] = CROP_BUCKETS,
+) -> "Batch":
+    """Device-preproc collation: uint8 crop bank + (hc, wc) grid per row;
+    normalisation and the global bicubic happen on device
+    (ops/pixels.prepare_pixel_bank). Same bucketing idea as the f32 path."""
+    B = len(samples)
+    input_ids = np.full((B, seq_len), pad_token_id, dtype=np.int32)
+    attention_mask = np.zeros((B, seq_len), dtype=np.int32)
+    splice_idx = np.full((B, seq_len), -1, dtype=np.int32)
+
+    budget = (
+        img_token_budget
+        if img_token_budget is not None
+        else max(
+            s.img_gather_idx.shape[0] for s in samples if s.img_gather_idx is not None
+        )
+    )
+    real = max(
+        s.crop_grid[0] * s.crop_grid[1] for s in samples if s.pixel_values is not None
+    )
+    buckets = U8_CROP_BUCKETS if crop_buckets else ()
+    nc = min((b for b in buckets if b >= real), default=real)
+
+    pixel_values = np.zeros((B, nc, 336, 336, 3), dtype=np.uint8)
+    crop_grid = np.ones((B, 2), dtype=np.int32)
+    img_gather_idx = np.zeros((B, budget), dtype=np.int32)
+    num_img_tokens = np.zeros((B,), dtype=np.int32)
+
+    from .phi3v_processor import build_img_gather_idx
+
+    for b, s in enumerate(samples):
+        ids = s.input_ids[:seq_len]
+        n = ids.shape[0]
+        input_ids[b, seq_len - n :] = ids
+        attention_mask[b, seq_len - n :] = s.attention_mask[:seq_len]
+        splice_idx[b, seq_len - n :] = s.splice_idx[:seq_len]
+        if s.pixel_values is None:
+            continue
+        hc, wc = s.crop_grid
+        pixel_values[b, : hc * wc] = s.pixel_values
+        crop_grid[b] = (hc, wc)
+        # bank the model builds is [global, nc crops] -> same layout the
+        # f32 bucketing produces, so indices rebuild against nc crops
+        img_gather_idx[b] = build_img_gather_idx(hc, wc, nc, budget)
+        num_img_tokens[b] = s.num_img_tokens
+
+    return Batch(
+        input_ids=input_ids,
+        attention_mask=attention_mask,
+        splice_idx=splice_idx,
+        pixel_values=pixel_values,
+        img_gather_idx=img_gather_idx,
+        num_img_tokens=num_img_tokens,
+        crop_grid=crop_grid,
     )
 
 
@@ -196,4 +285,5 @@ def to_reward_batch(batch: Batch):
         patch_valid=batch.get("patch_valid"),
         rot_pos=batch.get("rot_pos"),
         unit_gather=batch.get("unit_gather"),
+        crop_grid=batch.get("crop_grid"),
     )

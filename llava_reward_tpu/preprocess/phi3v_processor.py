@@ -217,7 +217,7 @@ def hd_transform_image(image, num_crops: int = 16) -> np.ndarray:
 
 
 def preprocess_image(
-    image, num_crops: int = 16
+    image, num_crops: int = 16, layout: str = "f32"
 ) -> Tuple[np.ndarray, Tuple[int, int], int]:
     """Full image pipeline for one image.
 
@@ -225,10 +225,29 @@ def preprocess_image(
     native C++ fused decode+HD+normalise pipeline when built —
     native/imgproc.cpp — with a PIL fallback).
 
-    Returns (pixel_values, (h, w), num_img_tokens) where pixel_values is
-    (num_crops+1, 336, 336, 3) float32 channels-last: [global, crops...],
-    zero-padded (matching pad_to_max_num_crops_tensor, :128-136).
+    ``layout``:
+    - "f32" (default): (num_crops+1, 336, 336, 3) float32 channels-last
+      normalised bank [global, crops...], zero-padded (matching
+      pad_to_max_num_crops_tensor, :128-136);
+    - "u8": (hc*wc, 336, 336, 3) UINT8 crops only — normalisation and the
+      global bicubic run on device (ops/pixels.prepare_pixel_bank), host
+      work and host->HBM bytes drop ~4x.
+
+    Returns (pixel_values, (h, w), num_img_tokens).
     """
+    if layout == "u8":
+        if isinstance(image, (bytes, bytearray)):
+            import io
+
+            from PIL import Image
+
+            image = Image.open(io.BytesIO(bytes(image)))
+        arr = hd_transform_image(image, num_crops)  # (H, W, 3) uint8
+        h, w = arr.shape[:2]
+        hc, wc = h // 336, w // 336
+        crops = arr.reshape(hc, 336, wc, 336, 3).transpose(0, 2, 1, 3, 4)
+        crops = np.ascontiguousarray(crops.reshape(hc * wc, 336, 336, 3))
+        return crops, (h, w), num_img_tokens_for(h, w)
     x = None
     if isinstance(image, (bytes, bytearray)):
         from . import native
@@ -264,6 +283,22 @@ def preprocess_image(
     return out, (h, w), num_img_tokens_for(h, w)
 
 
+def host_bank_from_u8(
+    crops_u8: np.ndarray, crop_grid: Tuple[int, int]
+) -> np.ndarray:
+    """u8 crops (hc*wc, 336, 336, 3) -> f32 normalised (hc*wc+1, ...) bank
+    [global, crops...] — the host fallback used when a batch mixes u8 and
+    f32 samples (extreme-aspect images)."""
+    hc, wc = crop_grid
+    x = crops_u8.astype(np.float32) / 255.0
+    x = (x - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD
+    hd = x.reshape(hc, wc, 336, 336, 3).transpose(0, 2, 1, 3, 4).reshape(
+        hc * 336, wc * 336, 3
+    )
+    glb = bicubic_global_image(hd.transpose(2, 0, 1)).transpose(1, 2, 0)
+    return np.concatenate([glb[None], x], axis=0).astype(np.float32)
+
+
 # --------------------------------------------------------------- full sample
 
 @dataclass
@@ -276,10 +311,12 @@ class ProcessedSample:
     input_ids: np.ndarray  # (s,) int32, image positions hold 0
     attention_mask: np.ndarray  # (s,) int32 all ones (reference :449)
     splice_idx: np.ndarray  # (s,) int32, slot index or -1
-    pixel_values: Optional[np.ndarray]  # (num_crops+1, 336, 336, 3) f32
+    pixel_values: Optional[np.ndarray]  # f32 (num_crops+1, 336, 336, 3) bank
+    # OR u8 (hc*wc, 336, 336, 3) crops when crop_grid is set (device preproc)
     img_gather_idx: Optional[np.ndarray]  # (T_img,) int32
     num_img_tokens: int
     image_size: Tuple[int, int]  # (h, w) post-HD
+    crop_grid: Optional[Tuple[int, int]] = None  # (hc, wc) in u8 mode
 
 
 class Phi3VProcessor:
@@ -296,6 +333,7 @@ class Phi3VProcessor:
         tokenizer,
         num_crops: int = 16,
         img_token_budget: Optional[int] = None,
+        device_preproc: bool = False,
     ):
         self.tokenizer = tokenizer
         self.num_crops = num_crops
@@ -304,6 +342,9 @@ class Phi3VProcessor:
             if img_token_budget is not None
             else max_num_img_tokens(num_crops)
         )
+        # ship u8 crops and normalise/global-resize on device (single-image
+        # samples with grids <= ops/pixels.MAX_GRID; others fall back to f32)
+        self.device_preproc = device_preproc
 
     def _tokenize(self, text: str) -> List[int]:
         out = self.tokenizer(text)
@@ -339,8 +380,21 @@ class Phi3VProcessor:
         # Multi-image: the feature bank concatenates every image's crops after
         # the leading GN sentinel rows, so image i's crop c lives at rows
         # 2 + (i*(num_crops+1) + c)*144 ...
-        per_img = [preprocess_image(im, self.num_crops) for im in images]
-        pixel_values = np.concatenate([p[0] for p in per_img], axis=0)
+        crop_grid = None
+        use_u8 = self.device_preproc and len(images) == 1
+        if use_u8:
+            from ..ops.pixels import MAX_GRID
+
+            per_img = [preprocess_image(im, self.num_crops, layout="u8") for im in images]
+            h8, w8 = per_img[0][1]
+            if h8 // 336 > MAX_GRID or w8 // 336 > MAX_GRID:
+                use_u8 = False  # extreme aspect: host f32 fallback
+        if use_u8:
+            pixel_values = per_img[0][0]  # (hc*wc, 336, 336, 3) uint8
+            crop_grid = (h8 // 336, w8 // 336)
+        else:
+            per_img = [preprocess_image(im, self.num_crops) for im in images]
+            pixel_values = np.concatenate([p[0] for p in per_img], axis=0)
         grid2 = 144  # merge_grid^2
         crops1 = self.num_crops + 1
 
@@ -380,6 +434,7 @@ class Phi3VProcessor:
             img_gather_idx=gather_idx,
             num_img_tokens=slot,
             image_size=(h0, w0),
+            crop_grid=crop_grid,
         )
 
 

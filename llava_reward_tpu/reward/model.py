@@ -64,6 +64,9 @@ class RewardBatch(NamedTuple):
     patch_valid: Optional[jnp.ndarray] = None  # qwen (B, P)
     rot_pos: Optional[jnp.ndarray] = None  # qwen (B, P, 2)
     unit_gather: Optional[jnp.ndarray] = None  # qwen (B, U)
+    crop_grid: Optional[jnp.ndarray] = None  # phi3v u8 path: (B, 2) (hc, wc)
+    # when pixel_values is uint8 (B, nc, 336, 336, 3) CROPS-ONLY, the
+    # device computes normalisation + the global bicubic (ops/pixels.py)
 
 
 class RewardOutput(NamedTuple):
@@ -148,13 +151,23 @@ def reward_forward(
         # position_ids = cumsum(mask)-1 with pads forced to 1 (rw:344-345)
         position_ids = jnp.cumsum(attention_mask.astype(jnp.int32), axis=-1) - 1
         position_ids = jnp.where(attention_mask == 0, 1, position_ids)
+        pixel_values = batch.pixel_values
+        if pixel_values is not None and pixel_values.dtype == jnp.uint8:
+            # device-side preprocessing path: u8 crops -> normalised bank
+            # with the MXU-computed global view (ops/pixels.py)
+            from ..ops.pixels import prepare_pixel_bank
+
+            assert batch.crop_grid is not None, "u8 pixels need crop_grid"
+            pixel_values = prepare_pixel_bank(
+                pixel_values, batch.crop_grid, dtype=jnp.float32
+            )
         out = phi3v.forward(
             params["backbone"],
             cfg,
             batch.input_ids,
             attention_mask,
             position_ids,
-            batch.pixel_values,
+            pixel_values,
             batch.img_gather_idx,
             batch.splice_idx,
             batch.num_img_tokens,

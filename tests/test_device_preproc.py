@@ -1,0 +1,123 @@
+"""Device-side preprocessing (ops/pixels.py): u8 crop banks + on-device
+normalise/global-bicubic vs the host f32 path (VERDICT r1 item 5; replaces
+the reference's host torchvision ops, processing_phi3_v.py:62-136,265)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+from PIL import Image
+
+from llava_reward_tpu.core.config import RewardConfig, phi3v_tiny_config
+from llava_reward_tpu.models import phi3v
+from llava_reward_tpu.ops.pixels import MAX_GRID, prepare_pixel_bank
+from llava_reward_tpu.preprocess.collate import collate_samples, to_reward_batch
+from llava_reward_tpu.preprocess.phi3v_processor import (
+    Phi3VProcessor,
+    hd_transform_image,
+    host_bank_from_u8,
+    preprocess_image,
+)
+from llava_reward_tpu.reward import init_head_params
+from llava_reward_tpu.reward.model import reward_forward
+
+
+@pytest.mark.parametrize("size", [(500, 400), (336, 700), (1400, 200)])
+def test_prepare_pixel_bank_matches_host(rng, size):
+    img = Image.fromarray((rng.random((size[1], size[0], 3)) * 255).astype(np.uint8))
+    ref_bank, (h, w), _ = preprocess_image(img, num_crops=16)
+    crops, (h2, w2), _ = preprocess_image(img, num_crops=16, layout="u8")
+    assert (h, w) == (h2, w2)
+    hc, wc = h // 336, w // 336
+    u8 = np.zeros((16, 336, 336, 3), np.uint8)
+    u8[: hc * wc] = crops
+    out = np.asarray(
+        prepare_pixel_bank(jnp.asarray(u8[None]), jnp.asarray([[hc, wc]], np.int32))
+    )[0]
+    assert np.abs(out[0] - ref_bank[0]).max() < 5e-4  # global (MXU bicubic)
+    assert np.abs(out[1 : 1 + hc * wc] - ref_bank[1 : 1 + hc * wc]).max() < 1e-5
+
+
+def test_host_bank_from_u8_matches_f32(rng):
+    img = Image.fromarray((rng.random((700, 900, 3)) * 255).astype(np.uint8))
+    ref_bank, (h, w), _ = preprocess_image(img, num_crops=16)
+    crops, _, _ = preprocess_image(img, num_crops=16, layout="u8")
+    bank = host_bank_from_u8(crops, (h // 336, w // 336))
+    n = bank.shape[0]
+    assert np.abs(bank - ref_bank[:n]).max() < 1e-5
+
+
+class _Tok:
+    eos_token = "</s>"
+
+    def __call__(self, text):
+        return {"input_ids": [hash(t) % 200 + 3 for t in text.split()]}
+
+
+def _sample_rows(rng, proc, n=2, size=(400, 380)):
+    rows = []
+    for i in range(n):
+        img = Image.fromarray((rng.random((size[1], size[0], 3)) * 255).astype(np.uint8))
+        rows.append(proc(f"prompt number {i} <|image_1|> end", [img]))
+    return rows
+
+
+def test_end_to_end_u8_matches_f32_path(rng):
+    cfg = phi3v_tiny_config(num_crops=4, num_layers=2, vision_layers=1)
+    rcfg = RewardConfig(is_general_preference=True, value_head_dim=2)
+    rcfg.layer_id = cfg.decoder.num_layers
+    params = {
+        "backbone": phi3v.init_params(jax.random.PRNGKey(0), cfg),
+        "head": init_head_params(jax.random.PRNGKey(1), cfg, rcfg),
+    }
+    tok = _Tok()
+    proc_u8 = Phi3VProcessor(tok, num_crops=cfg.num_crops, device_preproc=True)
+    proc_f32 = Phi3VProcessor(tok, num_crops=cfg.num_crops, device_preproc=False)
+
+    imgs = [
+        Image.fromarray((rng.random((380, 400, 3)) * 255).astype(np.uint8))
+        for _ in range(2)
+    ]
+    pad = cfg.decoder.pad_token_id
+
+    def run(proc):
+        samples = [
+            proc(f"prompt number {i} <|image_1|> end", [img])
+            for i, img in enumerate(imgs)
+        ]
+        batch = to_reward_batch(collate_samples(samples, 640, pad))
+        b = batch._replace(
+            **{
+                f: jnp.asarray(getattr(batch, f))
+                for f in batch._fields
+                if getattr(batch, f) is not None
+            }
+        )
+        return np.asarray(
+            reward_forward(params, cfg, rcfg, b, training=False, attn_impl="xla").reward
+        )
+
+    r_u8 = run(proc_u8)
+    r_f32 = run(proc_f32)
+    np.testing.assert_allclose(r_u8, r_f32, atol=2e-4, rtol=1e-4)
+
+
+def test_mixed_batch_falls_back_to_f32(rng):
+    """One u8 sample + one f32 sample (as an extreme-aspect fallback would
+    produce) -> the collator converts and the batch comes out f32."""
+    tok = _Tok()
+    proc_u8 = Phi3VProcessor(tok, num_crops=4, device_preproc=True)
+    proc_f32 = Phi3VProcessor(tok, num_crops=4, device_preproc=False)
+    img = Image.fromarray((rng.random((380, 400, 3)) * 255).astype(np.uint8))
+    s1 = proc_u8("a <|image_1|> b", [img])
+    s2 = proc_f32("c <|image_1|> d", [img])
+    assert s1.crop_grid is not None and s2.crop_grid is None
+    batch = collate_samples([s1, s2], 640, 0)
+    assert batch["pixel_values"].dtype == np.float32
+    assert batch.get("crop_grid") is None
+    np.testing.assert_allclose(
+        batch["pixel_values"][0, : batch["pixel_values"].shape[1]],
+        batch["pixel_values"][1],
+        atol=1e-5,
+    )
