@@ -288,21 +288,25 @@ def load_reward_adaptor(
         import jax
         import jax.numpy as jnp
 
-        merged = merge_lora(
-            {
-                k: (
-                    jax.tree_util.tree_map(jnp.asarray, v)
-                    if isinstance(v, dict)
-                    else jnp.asarray(v)
-                )
-                for k, v in layers_tree.items()
-            },
-            {n: {kk: jnp.asarray(vv) for kk, vv in t.items()} for n, t in stacked.items()},
-        )
-        merged = {
-            k: ({kk: np.asarray(vv) for kk, vv in v.items()} if isinstance(v, dict) else np.asarray(v))
-            for k, v in merged.items()
-        }
+        # merge ON CPU: the full-size f32 layer stack is ~15 GB — letting
+        # jnp default to the accelerator would OOM a 16 GB chip before the
+        # bf16 cast even happens
+        with jax.default_device(jax.devices("cpu")[0]):
+            merged = merge_lora(
+                {
+                    k: (
+                        jax.tree_util.tree_map(jnp.asarray, v)
+                        if isinstance(v, dict)
+                        else jnp.asarray(v)
+                    )
+                    for k, v in layers_tree.items()
+                },
+                {n: {kk: jnp.asarray(vv) for kk, vv in t.items()} for n, t in stacked.items()},
+            )
+            merged = {
+                k: ({kk: np.asarray(vv) for kk, vv in v.items()} if isinstance(v, dict) else np.asarray(v))
+                for k, v in merged.items()
+            }
         if model_type == "phi3v":
             backbone["decoder"]["layers"] = merged
         else:

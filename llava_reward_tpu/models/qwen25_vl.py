@@ -157,14 +157,15 @@ def _vision_block(h, lp, vc: QwenVisionConfig, cos, sin, patch_valid, is_full, a
     q = (qf * c + _rotate_half(qf) * s).astype(h.dtype)
     k = (kf * c + _rotate_half(kf) * s).astype(h.dtype)
 
-    # patch_valid is NOT a left-pad mask (partial windows interleave invalid
-    # slots; the batch patch budget right-pads) — declare mask_layout so the
-    # flash kernel masks from the full (B, P) mask instead of a kv_start
-    # scalar, which would silently attend to padding.
+    # patch_valid carries SEGMENT ids (0 = pad; images: 1; video: t+1 per
+    # temporal slice). Full-attention blocks attend within one segment only
+    # — HF computes cu_seqlens per grid_t slice
+    # (Qwen2_5_VisionTransformer.forward), so a video's frames never attend
+    # across time in these blocks.
     def full_attn(q, k, v):
         return mha(
             q, k, v, causal=False, key_padding_mask=patch_valid,
-            impl=attn_impl, mask_layout="arbitrary",
+            impl=attn_impl, mask_layout="segments",
         )
 
     def win_attn(q, k, v):

@@ -27,6 +27,7 @@ def _build_bias(
     key_padding_mask: Optional[jnp.ndarray],  # (B, kv_len) 1=valid
     sliding_window: Optional[int],
     dtype=jnp.float32,
+    segment_ids: Optional[jnp.ndarray] = None,  # (B, kv_len) 0=pad
 ) -> Optional[jnp.ndarray]:
     """Additive attention bias (B or 1, 1, q_len, kv_len)."""
     bias = None
@@ -37,6 +38,13 @@ def _build_bias(
         if sliding_window is not None and sliding_window < kv_len:
             allowed = allowed & (k_pos > q_pos - sliding_window)
         bias = jnp.where(allowed, 0.0, NEG_INF).astype(dtype)[None, None]
+    if segment_ids is not None:
+        # attention only within equal nonzero segments (per-frame full
+        # attention in the qwen vision tower: cu_seqlens per grid_t slice)
+        seg = segment_ids.astype(jnp.int32)
+        ok = (seg[:, :, None] == seg[:, None, :]) & (seg[:, None, :] != 0)
+        sm = jnp.where(ok, 0.0, NEG_INF).astype(dtype)[:, None]  # (B,1,q,k)
+        bias = sm if bias is None else bias + sm
     if key_padding_mask is not None:
         pm = jnp.where(key_padding_mask.astype(bool), 0.0, NEG_INF).astype(dtype)
         pm = pm[:, None, None, :]  # (B,1,1,kv)
@@ -53,6 +61,7 @@ def attention_reference(
     key_padding_mask: Optional[jnp.ndarray] = None,  # (B, Skv) 1=valid
     sliding_window: Optional[int] = None,
     scale: Optional[float] = None,
+    segment_ids: Optional[jnp.ndarray] = None,  # (B, Skv) 0=pad
 ) -> jnp.ndarray:
     """Pure-XLA attention, fp32 softmax (matches HF eager semantics,
     modeling_phi3_v.py:640-660). GQA handled by head broadcasting."""
@@ -65,7 +74,10 @@ def attention_reference(
     scores = jnp.einsum(
         "bqhrd,bkhd->bhrqk", qh, k, preferred_element_type=jnp.float32
     ) * scale  # (B, Hk, n_rep, Sq, Skv)
-    bias = _build_bias(Sq, Skv, causal, key_padding_mask, sliding_window)
+    bias = _build_bias(
+        Sq, Skv, causal, key_padding_mask, sliding_window,
+        segment_ids=segment_ids,
+    )
     if bias is not None:
         scores = scores + bias[:, :, None]  # broadcast over (Hk, n_rep)
     probs = jax.nn.softmax(scores.astype(jnp.float32), axis=-1).astype(q.dtype)
@@ -116,6 +128,11 @@ def mha(
             sliding_window=sliding_window,
             scale=scale,
             mask_layout=mask_layout,
+        )
+    if mask_layout == "segments":
+        return attention_reference(
+            q, k, v, causal=causal, sliding_window=sliding_window,
+            scale=scale, segment_ids=key_padding_mask,
         )
     return attention_reference(
         q,

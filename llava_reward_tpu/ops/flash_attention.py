@@ -47,9 +47,12 @@ def _fa_kernel(
     q_len: int,
     block_q: int,
     has_mask: bool = False,
+    segments: bool = False,  # mask row holds SEGMENT ids (0 = pad)
     q_offset: int = 0,  # static q-position offset (causal block-skip calls)
 ):
-    if has_mask:
+    if segments:
+        mask_ref, qseg_ref, o_ref = rest
+    elif has_mask:
         mask_ref, o_ref = rest
     else:
         (o_ref,) = rest
@@ -73,7 +76,16 @@ def _fa_kernel(
     mask = k_pos < q_len  # right-pad tail from block rounding
     start = kv_start_ref[b]
     mask &= k_pos >= start
-    if has_mask:
+    if segments:
+        # segment-ids masking (per-frame full attention in the qwen vision
+        # tower): key seg must be nonzero AND equal to the query's seg; the
+        # q block's seg values ride in as a second (1, block_q) view of the
+        # same (B, S) array
+        k_seg = mask_ref[0, :][None, :]
+        q_seg = qseg_ref[0, :]  # (block_q,)
+        q_seg_rows = jnp.tile(q_seg, (n_rep,))[:, None]  # rep-major rows
+        mask &= (k_seg != 0) & (k_seg == q_seg_rows)
+    elif has_mask:
         # arbitrary key-valid mask (e.g. qwen vision full-attention blocks
         # whose padding is interleaved/right-side, NOT a left-pad suffix);
         # carried as (B, 1, S) so the block's last two dims (1, S) satisfy
@@ -129,6 +141,7 @@ def _flash_fwd_hm_call(
     q_block0: int,  # first q block this call covers
     n_q_blocks: int,  # number of q blocks this call covers
     k_ext: int,  # static key extent (rows of K/V read), multiple of block_q
+    segments: bool = False,
 ) -> jnp.ndarray:
     """One pallas_call covering q blocks [q_block0, q_block0+n_q_blocks) and
     keys [0, k_ext). Slicing rides in the BlockSpecs (no HBM copies).
@@ -146,6 +159,7 @@ def _flash_fwd_hm_call(
         q_len=q_len,
         block_q=block_q,
         has_mask=key_mask is not None,
+        segments=segments,
         q_offset=q_block0 * block_q,
     )
 
@@ -168,6 +182,7 @@ def _flash_fwd_hm_call(
     ]
     operands = [qt, kt, vt]
     if key_mask is not None:
+        mask3 = key_mask.astype(jnp.int32)[:, None, :]
         in_specs.append(
             pl.BlockSpec(
                 (None, 1, k_ext),
@@ -175,7 +190,16 @@ def _flash_fwd_hm_call(
                 memory_space=pltpu.VMEM,
             )
         )
-        operands.append(key_mask.astype(jnp.int32)[:, None, :])
+        operands.append(mask3)
+        if segments:  # q-block view of the same segment-id row
+            in_specs.append(
+                pl.BlockSpec(
+                    (None, 1, block_q),
+                    lambda b, h, qi, *prefetch: (b, 0, q_block0 + qi),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            operands.append(mask3)
 
     interpret = jax.devices()[0].platform != "tpu"  # CPU tests run interpreted
     return pl.pallas_call(
@@ -216,6 +240,7 @@ def _flash_fwd_hm(
     scale: float,
     q_len: int,
     block_q: int,
+    segments: bool = False,
 ) -> jnp.ndarray:
     """Head-major flash core -> (B, H, S_pad, D_pad). GQA runs natively:
     each grid step's q block spans all n_rep reps of one kv head (dim-1
@@ -237,6 +262,7 @@ def _flash_fwd_hm(
                 qt, kt, vt, kv_start, key_mask, causal, sliding_window,
                 scale, q_len, block_q,
                 q_block0=qi, n_q_blocks=1, k_ext=(qi + 1) * block_q,
+                segments=segments,
             )
             for qi in range(nq)
         ]
@@ -245,6 +271,7 @@ def _flash_fwd_hm(
     return _flash_fwd_hm_call(
         qt, kt, vt, kv_start, key_mask, causal, sliding_window, scale,
         q_len, block_q, q_block0=0, n_q_blocks=nq, k_ext=S_pad,
+        segments=segments,
     )
 
 
@@ -258,6 +285,7 @@ def _flash_fwd(
     sliding_window: Optional[int],
     scale: float,
     block_q: Optional[int] = None,
+    segments: bool = False,
 ) -> jnp.ndarray:
     """(B, S, H, D) entry: transpose to head-major, run the core, transpose
     back. The fused decoder path (fused_qkv_attention) skips these
@@ -295,7 +323,7 @@ def _flash_fwd(
 
     out = _flash_fwd_hm(
         qt, kt, vt, kv_start, key_mask, causal, sliding_window, scale,
-        q_len=S, block_q=block_q,
+        q_len=S, block_q=block_q, segments=segments,
     )
     out = out.transpose(0, 2, 1, 3)
     return out[:, :S, :, :D]
@@ -328,8 +356,11 @@ def _fa_bwd_kernel(
     block_q: int,
     n_q_blocks: int,
     has_mask: bool,
+    segments: bool = False,
 ):
-    if has_mask:
+    if segments:
+        mask_ref, qseg_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc = rest
+    elif has_mask:
         mask_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc = rest
     else:
         dq_ref, dk_ref, dv_ref, dk_acc, dv_acc = rest
@@ -351,7 +382,11 @@ def _fa_bwd_kernel(
     k_pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     mask = k_pos < q_len
     mask &= k_pos >= kv_start_ref[b]
-    if has_mask:
+    if segments:
+        k_seg = mask_ref[0, :][None, :]
+        q_seg_rows = jnp.tile(qseg_ref[0, :], (n_rep,))[:, None]
+        mask &= (k_seg != 0) & (k_seg == q_seg_rows)
+    elif has_mask:
         mask &= mask_ref[0, :][None, :] != 0
     if causal:
         mask &= k_pos <= q_pos
@@ -422,6 +457,7 @@ def _flash_bwd(
     causal: bool,
     sliding_window: Optional[int],
     scale: float,
+    segments: bool = False,
 ):
     B, S, H, D = q.shape
     Hk = k.shape[2]
@@ -449,7 +485,7 @@ def _flash_bwd(
         _fa_bwd_kernel,
         scale=scale, causal=causal, sliding_window=sliding_window,
         q_len=S, block_q=block_q, n_q_blocks=nq,
-        has_mask=key_mask is not None,
+        has_mask=key_mask is not None, segments=segments,
     )
 
     def qspec():
@@ -469,6 +505,7 @@ def _flash_bwd(
     in_specs = [qspec(), kvspec(), kvspec(), qspec()]
     operands = [qt, kt, vt, gt]
     if key_mask is not None:
+        mask3 = key_mask.astype(jnp.int32)[:, None, :]
         in_specs.append(
             pl.BlockSpec(
                 (None, 1, S_pad),
@@ -476,7 +513,16 @@ def _flash_bwd(
                 memory_space=pltpu.VMEM,
             )
         )
-        operands.append(key_mask.astype(jnp.int32)[:, None, :])
+        operands.append(mask3)
+        if segments:
+            in_specs.append(
+                pl.BlockSpec(
+                    (None, 1, block_q),
+                    lambda b, h, qi, *p: (b, 0, qi),
+                    memory_space=pltpu.VMEM,
+                )
+            )
+            operands.append(mask3)
 
     interpret = jax.devices()[0].platform != "tpu"
     dqt, dkt, dvt = pl.pallas_call(
@@ -512,18 +558,22 @@ def _flash_bwd(
 
 
 @functools.partial(
-    jax.custom_vjp, nondiff_argnums=(5, 6, 7)
+    jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8)
 )
-def _flash_attention_core(q, k, v, kv_start, key_mask, causal, sliding_window, scale):
-    return _flash_fwd(q, k, v, kv_start, key_mask, causal, sliding_window, scale)
+def _flash_attention_core(q, k, v, kv_start, key_mask, causal, sliding_window, scale,
+                          segments=False):
+    return _flash_fwd(q, k, v, kv_start, key_mask, causal, sliding_window, scale,
+                      segments=segments)
 
 
-def _core_fwd(q, k, v, kv_start, key_mask, causal, sliding_window, scale):
-    out = _flash_fwd(q, k, v, kv_start, key_mask, causal, sliding_window, scale)
+def _core_fwd(q, k, v, kv_start, key_mask, causal, sliding_window, scale,
+              segments=False):
+    out = _flash_fwd(q, k, v, kv_start, key_mask, causal, sliding_window, scale,
+                     segments=segments)
     return out, (q, k, v, kv_start, key_mask)
 
 
-def _core_bwd(causal, sliding_window, scale, res, g):
+def _core_bwd(causal, sliding_window, scale, segments, res, g):
     """Backward via the fused Pallas kernel (recompute-in-kernel, fp32
     dk/dv accumulators — no (B, H, S, S) tensor anywhere). Set
     LRT_XLA_ATTN_BWD=1 to fall back to the head-chunked XLA recompute."""
@@ -532,13 +582,14 @@ def _core_bwd(causal, sliding_window, scale, res, g):
     q, k, v, kv_start, key_mask = res
     if os.environ.get("LRT_XLA_ATTN_BWD") != "1":
         dq, dk, dv = _flash_bwd(
-            q, k, v, g, kv_start, key_mask, causal, sliding_window, scale
+            q, k, v, g, kv_start, key_mask, causal, sliding_window, scale,
+            segments=segments,
         )
         return dq, dk, dv, None, None
-    return _core_bwd_xla(causal, sliding_window, scale, res, g)
+    return _core_bwd_xla(causal, sliding_window, scale, res, g, segments=segments)
 
 
-def _core_bwd_xla(causal, sliding_window, scale, res, g):
+def _core_bwd_xla(causal, sliding_window, scale, res, g, segments=False):
     """Head-chunked XLA recompute (the pre-kernel path, kept as a fallback
     and as the oracle for kernel-grad parity tests)."""
     q, k, v, kv_start, key_mask = res
@@ -563,6 +614,11 @@ def _core_bwd_xla(causal, sliding_window, scale, res, g):
     nch = H // hc
 
     def ref(q_h, k_h, v_h):
+        if segments:
+            return attention_reference(
+                q_h, k_h, v_h, causal=causal, sliding_window=sliding_window,
+                scale=scale, segment_ids=mask,
+            )
         return attention_reference(
             q_h, k_h, v_h, causal=causal, key_padding_mask=mask,
             sliding_window=sliding_window, scale=scale,
@@ -619,8 +675,12 @@ def flash_attention(
         scale = 1.0 / (D ** 0.5)
     kv_start = jnp.zeros((B,), jnp.int32)
     key_mask = None
+    segments = False
     if key_padding_mask is not None:
-        if mask_layout == "arbitrary":
+        if mask_layout == "segments":
+            key_mask = key_padding_mask.astype(jnp.int32)
+            segments = True
+        elif mask_layout == "arbitrary":
             key_mask = key_padding_mask.astype(jnp.int32)
         elif mask_layout == "leftpad":
             kv_start = jnp.sum(
@@ -631,7 +691,7 @@ def flash_attention(
     if sliding_window is not None and sliding_window >= S:
         sliding_window = None
     return _flash_attention_core(
-        q, k, v, kv_start, key_mask, causal, sliding_window, scale
+        q, k, v, kv_start, key_mask, causal, sliding_window, scale, segments
     )
 
 
@@ -820,7 +880,7 @@ def _fused_core_bwd(n_heads, n_kv_heads, head_dim, causal, sliding_window, scale
 
     (q, k, v), front_vjp = jax.vjp(front, qkv)
     dq, dk, dv, _, _ = _core_bwd(
-        causal, sliding_window, scale, (q, k, v, kv_start, key_mask),
+        causal, sliding_window, scale, False, (q, k, v, kv_start, key_mask),
         g.reshape(B, S, n_heads, D),
     )
     (dqkv,) = front_vjp((dq, dk, dv))

@@ -54,7 +54,10 @@ def collate_samples(
     crop_grid = None
     if has_image:
         img_samples = [s for s in samples if s.pixel_values is not None]
-        n_u8 = sum(1 for s in img_samples if s.crop_grid is not None)
+        # llava samples have no crop_grid field (anyres keeps the f32 path)
+        n_u8 = sum(
+            1 for s in img_samples if getattr(s, "crop_grid", None) is not None
+        )
         if 0 < n_u8 < len(img_samples):
             # mixed batch (rare: extreme-aspect fallback) -> everything f32
             import dataclasses
@@ -67,7 +70,8 @@ def collate_samples(
                     pixel_values=host_bank_from_u8(s.pixel_values, s.crop_grid),
                     crop_grid=None,
                 )
-                if s.pixel_values is not None and s.crop_grid is not None
+                if s.pixel_values is not None
+                and getattr(s, "crop_grid", None) is not None
                 else s
                 for s in samples
             ]
@@ -231,7 +235,7 @@ def collate_qwen_samples(
     if has_image:
         ref = next(s for s in samples if s.patches is not None)
         patches = np.zeros((B, patch_budget, ref.patches.shape[-1]), np.float32)
-        patch_valid = np.zeros((B, patch_budget), bool)
+        patch_valid = np.zeros((B, patch_budget), np.int32)  # segment ids, 0=pad
         rot_pos = np.zeros((B, patch_budget, 2), np.int32)
         unit_gather = np.zeros((B, unit_budget), np.int32)
         num_img_tokens = np.zeros((B,), np.int32)

@@ -269,8 +269,12 @@ class Qwen25VLProcessor:
             return list(out["input_ids"])
         return list(out)
 
-    def __call__(self, text: str, images: Sequence = ()) -> QwenProcessedSample:
+    def __call__(
+        self, text: str, images: Sequence = (), videos: Sequence = ()
+    ) -> QwenProcessedSample:
         ids = np.asarray(self._tokenize(text), dtype=np.int32)
+        if videos:
+            return self._call_video(ids, videos)
         if not images:
             p = np.arange(len(ids), dtype=np.int32)
             return QwenProcessedSample(
@@ -308,6 +312,64 @@ class Qwen25VLProcessor:
             patches=patches[patch_src] * patch_valid[:, None],
             patch_valid=patch_valid,
             rot_pos=rot[patch_src] * patch_valid[:, None].astype(np.int32),
+            unit_gather=unit_gather,
+            grid_thw=grid,
+            num_img_tokens=n_merged,
+        )
+
+    # ------------------------------------------------------------- video
+    VIDEO_TOKEN_ID = 151656  # <|video_pad|>
+
+    def _call_video(self, ids: np.ndarray, videos: Sequence) -> QwenProcessedSample:
+        """One video per sample: the <|video_pad|> token expands to
+        grid_t*lh*lw merged units; temporal M-RoPE, per-slice windows
+        (preprocess/qwen_video.py; reference vision_process.py:143-331)."""
+        from .qwen_video import (
+            fetch_video,
+            frames_to_patches,
+            mrope_position_ids_video,
+            windowize_video,
+        )
+
+        if len(videos) != 1:
+            raise NotImplementedError("one video per sample (v1)")
+        ele = videos[0] if isinstance(videos[0], dict) else {"video": videos[0]}
+        frames, sample_fps = fetch_video(ele)
+        patches, grid = frames_to_patches(
+            frames, self.patch_size, self.temporal_patch_size, self.merge_size
+        )
+        m = self.merge_size
+        gt, gh, gw = grid
+        n_merged = gt * (gh // m) * (gw // m)
+
+        pad_positions = np.nonzero(ids == self.VIDEO_TOKEN_ID)[0]
+        assert len(pad_positions) == 1, "prompt must contain one <|video_pad|>"
+        p = int(pad_positions[0])
+        ids = np.concatenate(
+            [ids[:p], np.full(n_merged, self.VIDEO_TOKEN_ID, np.int32), ids[p + 1 :]]
+        )
+        splice = np.full(len(ids), -1, np.int32)
+        splice[p : p + n_merged] = np.arange(n_merged)
+
+        patch_src, patch_seg, unit_gather, _ = windowize_video(
+            grid, self.window_size, self.patch_size, self.merge_size
+        )
+        patch_ok = (patch_seg > 0)
+        rot1 = _merged_block_pos(gh, gw, m)
+        rot = np.tile(rot1, (gt, 1))  # spatial rotary repeats per t-slice
+        pos = mrope_position_ids_video(
+            ids, self.VIDEO_TOKEN_ID, grid, m,
+            second_per_grid_t=self.temporal_patch_size / max(sample_fps, 1e-6),
+            tokens_per_second=4.0,  # Qwen2_5_VLVisionConfig.tokens_per_second
+        )
+        return QwenProcessedSample(
+            input_ids=ids,
+            attention_mask=np.ones_like(ids),
+            position_ids=pos,
+            splice_idx=splice,
+            patches=patches[patch_src] * patch_ok[:, None],
+            patch_valid=patch_seg,  # SEGMENT ids: t+1 per slice, 0 = pad
+            rot_pos=rot[patch_src] * patch_ok[:, None].astype(np.int32),
             unit_gather=unit_gather,
             grid_thw=grid,
             num_img_tokens=n_merged,

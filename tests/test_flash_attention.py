@@ -271,3 +271,38 @@ def test_fused_backward_kernel_matches_reference(rng, B, S, H, Hk, D, causal, ma
     for a, b, is_q in zip(ga, gb, (True, False, False)):
         sel = mv if is_q else kmask
         assert float(jnp.max(jnp.abs((a - b) * sel))) < 2e-4
+
+
+def test_segment_mask_kernel_matches_reference(rng):
+    """mask_layout='segments': per-segment full attention (qwen vision
+    video slices) — kernel vs the segment-aware XLA reference, fwd + grad."""
+    B, S, H, D = 2, 192, 4, 32
+    q = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, S, H, D)), jnp.float32)
+    seg = np.zeros((B, S), np.int32)
+    seg[:, :80] = 1
+    seg[:, 80:150] = 2  # segment boundary mid-row + right padding zeros
+    seg[1, 40:50] = 0  # interleaved pad slots
+    seg = jnp.asarray(seg)
+    ok = (np.asarray(seg) > 0).astype(np.float32)[:, :, None, None]
+
+    out = flash_attention(q, k, v, causal=False, key_padding_mask=seg,
+                          mask_layout="segments")
+    ref = attention_reference(q, k, v, causal=False, segment_ids=seg)
+    assert float(jnp.max(jnp.abs((out - ref) * ok))) < 2e-5
+
+    w = jnp.cos(jnp.arange(D))
+
+    def f(q, k, v):
+        return (flash_attention(q, k, v, causal=False, key_padding_mask=seg,
+                                mask_layout="segments") * w * ok).sum()
+
+    def fr(q, k, v):
+        return (attention_reference(q, k, v, causal=False, segment_ids=seg)
+                * w * ok).sum()
+
+    ga = jax.grad(f, argnums=(0, 1, 2))(q, k, v)
+    gb = jax.grad(fr, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(ga, gb):
+        assert float(jnp.max(jnp.abs((a - b) * ok))) < 2e-4
