@@ -82,7 +82,11 @@ def e2e_main():
             return "".join(m["content"] for m in msgs) + " " + "x" * 22
 
     tok = Tok()
-    proc = Phi3VProcessor(tok, num_crops=cfg.num_crops)
+    # the production path: u8 crops + device-side normalise/global-bicubic
+    proc = Phi3VProcessor(
+        tok, num_crops=cfg.num_crops,
+        device_preproc=os.environ.get("LRT_DEVICE_PREPROC", "1") != "0",
+    )
 
     # synthetic jpegs on disk (realistic decode work)
     import tempfile

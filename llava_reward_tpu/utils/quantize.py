@@ -44,28 +44,33 @@ _NF4_BOUNDARIES = (NF4_GRID[:-1] + NF4_GRID[1:]) / 2  # nearest-level decision
 NF4_BLOCK = 64  # bnb default blocksize
 
 
-def quantize_array_nf4(w: jnp.ndarray, block: int = NF4_BLOCK) -> Dict[str, jnp.ndarray]:
+def quantize_array_nf4(w, block: int = NF4_BLOCK) -> Dict[str, np.ndarray]:
     """(..., in, out) float -> {'qvalues_nf4', 'scale'} with bnb NF4
     semantics: per-``block`` absmax along the 'in' axis, codes = nearest of
-    the 16 NF4 levels, two codes packed per byte."""
-    wf = w.astype(jnp.float32)
+    the 16 NF4 levels, two codes packed per byte.
+
+    Runs in NUMPY on the host: quantization is a one-off at load time and a
+    full-size layer stack is ~15 GB in f32 — tracing it onto a 16 GB chip
+    OOMs before training starts. Only dequant (the per-step hot path) is
+    device code."""
+    wf = np.asarray(w, np.float32)
     n_in = wf.shape[-2]
     assert n_in % block == 0, (n_in, block)
     lead = wf.shape[:-2]
     nb = n_in // block
     wb = wf.reshape(*lead, nb, block, wf.shape[-1])
-    absmax = jnp.max(jnp.abs(wb), axis=-2, keepdims=True)  # (..., nb, 1, out)
-    scale = jnp.where(absmax > 0, absmax, 1.0)
+    absmax = np.max(np.abs(wb), axis=-2, keepdims=True)  # (..., nb, 1, out)
+    scale = np.where(absmax > 0, absmax, 1.0)
     norm = wb / scale  # in [-1, 1]
-    codes = jnp.searchsorted(
-        jnp.asarray(_NF4_BOUNDARIES), norm.reshape(-1)
-    ).reshape(norm.shape).astype(jnp.int8)  # 0..15
+    codes = np.searchsorted(_NF4_BOUNDARIES, norm.reshape(-1)).reshape(
+        norm.shape
+    ).astype(np.int8)  # 0..15
     codes = codes.reshape(*lead, n_in, wf.shape[-1])
     lo = codes[..., 0::2, :] & 0x0F
     hi = (codes[..., 1::2, :] & 0x0F) << 4
     return {
-        _QNF4: (lo | hi).astype(jnp.int8),
-        "scale": scale.reshape(*lead, nb, wf.shape[-1]).astype(jnp.float32),
+        _QNF4: (lo | hi).astype(np.int8),
+        "scale": scale.reshape(*lead, nb, wf.shape[-1]).astype(np.float32),
     }
 
 
@@ -84,20 +89,21 @@ def dequantize_array_nf4(qd: Dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.
     return vals.reshape(*lead, n_in, n_out).astype(dtype)
 
 
-def quantize_array(w: jnp.ndarray, bits: int = 8) -> Dict[str, jnp.ndarray]:
-    """(..., in, out) float -> {'qvalues_i*', 'scale'} per-(leading, out)."""
+def quantize_array(w, bits: int = 8) -> Dict[str, np.ndarray]:
+    """(..., in, out) float -> {'qvalues_i*', 'scale'} per-(leading, out).
+    Host numpy (one-off at load; see quantize_array_nf4)."""
     assert bits in (8, 4)
-    wf = w.astype(jnp.float32)
-    absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)  # (..., 1, out)
+    wf = np.asarray(w, np.float32)
+    absmax = np.max(np.abs(wf), axis=-2, keepdims=True)  # (..., 1, out)
     qmax = 127.0 if bits == 8 else 7.0
-    scale = jnp.where(absmax > 0, absmax / qmax, 1.0)
-    q = jnp.clip(jnp.round(wf / scale), -qmax, qmax).astype(jnp.int8)
+    scale = np.where(absmax > 0, absmax / qmax, 1.0)
+    q = np.clip(np.round(wf / scale), -qmax, qmax).astype(np.int8)
     if bits == 4:
         assert q.shape[-2] % 2 == 0
         lo = q[..., 0::2, :] & 0x0F
         hi = (q[..., 1::2, :] & 0x0F) << 4
-        return {_Q4: (lo | hi).astype(jnp.int8), "scale": scale.astype(jnp.float32)}
-    return {_Q8: q, "scale": scale.astype(jnp.float32)}
+        return {_Q4: (lo | hi).astype(np.int8), "scale": scale.astype(np.float32)}
+    return {_Q8: q, "scale": scale.astype(np.float32)}
 
 
 def dequantize_array(qd: Dict[str, jnp.ndarray], dtype=jnp.bfloat16) -> jnp.ndarray:
