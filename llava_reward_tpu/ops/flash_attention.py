@@ -835,6 +835,204 @@ def fused_path_supported(
     return S % block_q == 0 or S % 256 == 0 or S % 64 == 0
 
 
+# --------------------------------------------------------------------------
+# DIRECT qkv flash kernel (MHA): reads q/k/v straight out of the fused
+# projection output via column BlockSpecs, ropes in-kernel, and writes the
+# attention output in (B, S, H*D) layout — no head-major materialisation at
+# all (the prep-kernel path writes+reads 3 head-major tensors, ~5 ms/layer
+# at reward shapes). Each program covers g heads whose combined column
+# width g*D is a 128 multiple; the per-head loop software-pipelines
+# scores(j+1) [MXU] against softmax(j) [VPU] like _fa_kernel.
+# --------------------------------------------------------------------------
+
+
+def _fa_direct_kernel(
+    kv_start_ref,  # SMEM (B,)
+    qkv_q_ref,  # (block_q, g*D) q columns of this head group
+    qkv_k_ref,  # (k_ext, g*D) k columns
+    qkv_v_ref,  # (k_ext, g*D) v columns
+    cos_q_ref,  # (block_q, D)
+    sin_q_ref,
+    cos_k_ref,  # (k_ext, D)
+    sin_k_ref,
+    o_ref,  # (block_q, g*D)
+    *,
+    scale: float,
+    causal: bool,
+    sliding_window: Optional[int],
+    q_len: int,
+    block_q: int,
+    g: int,
+    D: int,
+    q_offset: int,
+):
+    b = pl.program_id(0)
+    start = kv_start_ref[b]
+    qblk = qkv_q_ref[...]
+    kblk = qkv_k_ref[...]
+    vblk = qkv_v_ref[...]
+    cq, sq = cos_q_ref[...], sin_q_ref[...]
+    ck, sk = cos_k_ref[...], sin_k_ref[...]
+    half = D // 2
+
+    def rope(h, c, s):
+        rot = jnp.concatenate([-h[:, half:], h[:, :half]], axis=1)
+        return h * c + rot * s
+
+    def scores_of(j):
+        qj = rope(qblk[:, j * D : (j + 1) * D], cq, sq)
+        kj = rope(kblk[:, j * D : (j + 1) * D], ck, sk)
+        s = jax.lax.dot_general(
+            qj, kj, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (block_q, k_ext)
+        row = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        q_pos = q_offset + row
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        mask = (k_pos < q_len) & (k_pos >= start)
+        if causal:
+            mask &= k_pos <= q_pos
+            if sliding_window is not None:
+                mask &= k_pos > q_pos - sliding_window
+        return jnp.where(mask, s, NEG_INF)
+
+    def write_out(j, s):
+        m = jnp.max(s, axis=-1, keepdims=True)
+        e = jnp.exp(s - m)
+        probs = (e / jnp.sum(e, axis=-1, keepdims=True)).astype(qblk.dtype)
+        o = jax.lax.dot_general(
+            probs, vblk[:, j * D : (j + 1) * D], (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        o_ref[:, j * D : (j + 1) * D] = o.astype(o_ref.dtype)
+
+    s_prev = scores_of(0)
+    for j in range(1, g + 1):
+        s_cur = scores_of(j) if j < g else None
+        write_out(j - 1, s_prev)
+        s_prev = s_cur
+
+
+def _direct_group(n_heads: int, D: int) -> Optional[int]:
+    # SMALLEST group with a 128-multiple column width: VMEM holds g heads'
+    # K/V columns resident, so bigger g trades pipeline depth for memory
+    for g in (1, 2, 4, 8):
+        if n_heads % g == 0 and (g * D) % 128 == 0:
+            return g
+    return None
+
+
+def _direct_path_supported(
+    S, n_heads, n_kv_heads, head_dim, key_mask, sliding_window
+) -> bool:
+    """MHA only (the prep path keeps GQA's shared-KV residency), leftpad/
+    causal masks only, S divisible into 64-aligned q blocks."""
+    return (
+        n_heads == n_kv_heads
+        and key_mask is None
+        and _direct_group(n_heads, head_dim) is not None
+        and head_dim % 2 == 0
+        and S % 64 == 0
+    )
+
+
+def _fused_qkv_attention_direct(
+    qkv, cos, sin, kv_start, *,
+    n_heads, head_dim, causal, sliding_window, scale,
+):
+    B, S, C = qkv.shape
+    D = head_dim
+    qsz = n_heads * D
+    g = _direct_group(n_heads, D)
+    block_q = _pick_block_q(S, D, 1, qkv.dtype.itemsize)
+    # VMEM fit against the raised 64MB limit: double-buffered K/V g-head
+    # columns + fp32 score tiles (2 alive under the sub-pipeline) + rope rows
+    budget = 40 * 1024 * 1024
+    fixed = 2 * 2 * S * g * D * qkv.dtype.itemsize + 8 * S * D * qkv.dtype.itemsize
+    per_row = int(2 * 4 * S * 1.5 + 4 * g * D)
+    block_q = min(block_q, max(64, ((budget - fixed) // per_row) // 64 * 64))
+    while S % block_q != 0:
+        block_q -= 64
+    nq = S // block_q
+    cosb = jnp.broadcast_to(cos, (B, S, D))
+    sinb = jnp.broadcast_to(sin, (B, S, D))
+
+    def one_call(q_block0, k_ext):
+        kernel = functools.partial(
+            _fa_direct_kernel,
+            scale=scale, causal=causal, sliding_window=sliding_window,
+            q_len=S, block_q=block_q, g=g, D=D,
+            q_offset=q_block0 * block_q,
+        )
+        gD = g * D
+        return pl.pallas_call(
+            kernel,
+            interpret=jax.devices()[0].platform != "tpu",
+            # the g-head K/V residency + fp32 score tiles overflow the
+            # conservative 16MB scoped default; v5e VMEM is far larger
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B, n_heads // g, 1),
+                in_specs=[
+                    pl.BlockSpec(
+                        (None, block_q, gD),
+                        lambda b, h, qi, *p: (b, q_block0, h),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (None, k_ext, gD),
+                        lambda b, h, qi, *p: (b, 0, (qsz // gD) + h),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (None, k_ext, gD),
+                        lambda b, h, qi, *p: (b, 0, 2 * (qsz // gD) + h),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (None, block_q, D),
+                        lambda b, h, qi, *p: (b, q_block0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (None, block_q, D),
+                        lambda b, h, qi, *p: (b, q_block0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (None, k_ext, D),
+                        lambda b, h, qi, *p: (b, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                    pl.BlockSpec(
+                        (None, k_ext, D),
+                        lambda b, h, qi, *p: (b, 0, 0),
+                        memory_space=pltpu.VMEM,
+                    ),
+                ],
+                out_specs=pl.BlockSpec(
+                    (None, block_q, gD),
+                    lambda b, h, qi, *p: (b, 0, h),  # out covers ONE q block
+                    memory_space=pltpu.VMEM,
+                ),
+            ),
+            out_shape=jax.ShapeDtypeStruct((B, block_q, qsz), qkv.dtype),
+            cost_estimate=pl.CostEstimate(
+                flops=4 * B * n_heads * block_q * k_ext * D,
+                bytes_accessed=(B * block_q + 2 * B * k_ext) * C * qkv.dtype.itemsize,
+                transcendentals=B * n_heads * block_q * k_ext,
+            ),
+        )(kv_start.astype(jnp.int32), qkv, qkv, qkv, cosb, sinb, cosb, sinb)
+
+    if causal and nq > 1:
+        outs = [one_call(qi, (qi + 1) * block_q) for qi in range(nq)]
+        return jnp.concatenate(outs, axis=1)
+    return jnp.concatenate([one_call(qi, S) for qi in range(nq)], axis=1) \
+        if nq > 1 else one_call(0, S)
+
+
 def _fused_qkv_attention_fwd_impl(
     qkv, cos, sin, kv_start, key_mask, *,
     n_heads, n_kv_heads, head_dim, causal, sliding_window, scale,
@@ -843,6 +1041,12 @@ def _fused_qkv_attention_fwd_impl(
     D = head_dim
     qsz = n_heads * D
     kvsz = n_kv_heads * D
+    if _direct_path_supported(S, n_heads, n_kv_heads, D, key_mask, sliding_window):
+        return _fused_qkv_attention_direct(
+            qkv, cos, sin, kv_start,
+            n_heads=n_heads, head_dim=D, causal=causal,
+            sliding_window=sliding_window, scale=scale,
+        )
     qt = rope_transpose(qkv, cos, sin, col_offset=0, n_heads=n_heads, head_dim=D)
     kt = rope_transpose(qkv, cos, sin, col_offset=qsz, n_heads=n_kv_heads, head_dim=D)
     vt = rope_transpose(qkv, None, None, col_offset=qsz + kvsz,
