@@ -105,7 +105,9 @@ def _lora_delta(x, lora_layer, name):
     return (x @ a) @ b * t["scale"].astype(x.dtype)
 
 
-def _encoder_layer(h, lp, cfg: VisionConfig, attn_impl: str, lora_layer=None):
+def _encoder_layer(
+    h, lp, cfg: VisionConfig, attn_impl: str, lora_layer=None, valid_len=None
+):
     act = ACT2FN[cfg.hidden_act]
     nh, hd = cfg.num_heads, cfg.head_dim
     N, S, H = h.shape
@@ -113,13 +115,39 @@ def _encoder_layer(h, lp, cfg: VisionConfig, attn_impl: str, lora_layer=None):
     residual = h
     x = layer_norm(h, lp["ln1"]["weight"], lp["ln1"]["bias"], cfg.layer_norm_eps)
     a = lp["attn"]
-    q = x @ a["q"]["kernel"] + a["q"]["bias"] + _lora_delta(x, lora_layer, "q")
-    k = x @ a["k"]["kernel"] + a["k"]["bias"] + _lora_delta(x, lora_layer, "k")
-    v = x @ a["v"]["kernel"] + a["v"]["bias"] + _lora_delta(x, lora_layer, "v")
-    q = q.reshape(N, S, nh, hd)
-    k = k.reshape(N, S, nh, hd)
-    v = v.reshape(N, S, nh, hd)
-    attn = mha(q, k, v, causal=False, impl=attn_impl).reshape(N, S, H)
+    if attn_impl == "fused":
+        # fused qkv matmul + direct flash kernel: attention output comes
+        # back in (N, S, H) with zero layout transposes; pad keys beyond
+        # ``valid_len`` are masked in-kernel. LoRA deltas add onto the
+        # fused projection's column groups.
+        from ..ops.flash_attention import _fused_qkv_attention_direct
+
+        wk = jnp.concatenate(
+            [a["q"]["kernel"], a["k"]["kernel"], a["v"]["kernel"]], axis=1
+        )
+        wb = jnp.concatenate([a["q"]["bias"], a["k"]["bias"], a["v"]["bias"]])
+        qkv = x @ wk + wb
+        if lora_layer is not None:
+            deltas = [_lora_delta(x, lora_layer, n) for n in ("q", "k", "v")]
+            if any(not isinstance(d, float) for d in deltas):
+                qkv = qkv + jnp.concatenate(
+                    [jnp.broadcast_to(d, x.shape) if isinstance(d, float) else d
+                     for d in deltas],
+                    axis=-1,
+                )
+        attn = _fused_qkv_attention_direct(
+            qkv, None, None, jnp.zeros((N,), jnp.int32),
+            n_heads=nh, head_dim=hd, causal=False, sliding_window=None,
+            scale=hd ** -0.5, valid_len=valid_len,
+        )
+    else:
+        q = x @ a["q"]["kernel"] + a["q"]["bias"] + _lora_delta(x, lora_layer, "q")
+        k = x @ a["k"]["kernel"] + a["k"]["bias"] + _lora_delta(x, lora_layer, "k")
+        v = x @ a["v"]["kernel"] + a["v"]["bias"] + _lora_delta(x, lora_layer, "v")
+        q = q.reshape(N, S, nh, hd)
+        k = k.reshape(N, S, nh, hd)
+        v = v.reshape(N, S, nh, hd)
+        attn = mha(q, k, v, causal=False, impl=attn_impl).reshape(N, S, H)
     attn_out = attn @ a["out"]["kernel"] + a["out"]["bias"] + _lora_delta(
         attn, lora_layer, "out"
     )
@@ -164,13 +192,32 @@ def extract_patch_features(
     if lora is not None:
         lora = jax.tree_util.tree_map(lambda x: x[:n_active], lora)
 
+    # TPU: pad the token axis to a 64 multiple and run the fused
+    # qkv+direct-kernel layer (no q/k/v layout transposes; pad keys masked
+    # in-kernel, pad rows never mix back since attention is the only
+    # cross-token op). ~10% extra matmul rows buys the fast attention path.
+    S = h.shape[1]
+    valid_len = None
+    try:
+        on_tpu = jax.devices()[0].platform == "tpu"
+    except Exception:
+        on_tpu = False
+    if attn_impl in ("auto", "pallas") and on_tpu and S % 64 != 0:
+        from ..ops.flash_attention import _direct_group
+
+        if _direct_group(cfg.num_heads, cfg.head_dim) is not None:
+            S_pad = (S + 63) // 64 * 64
+            h = jnp.pad(h, [(0, 0), (0, S_pad - S), (0, 0)])
+            valid_len = S
+            attn_impl = "fused"
+
     body = _encoder_layer
     if remat:
-        body = jax.checkpoint(body, static_argnums=(2, 3))
+        body = jax.checkpoint(body, static_argnums=(2, 3, 5))
 
     def scan_fn(carry, xs):
         lp, lora_layer = xs
-        return body(carry, lp, cfg, attn_impl, lora_layer), None
+        return body(carry, lp, cfg, attn_impl, lora_layer, valid_len), None
 
     h, _ = jax.lax.scan(scan_fn, h, (layers, lora))
-    return h[:, 1:, :]  # drop CLS
+    return h[:, 1:S, :]  # drop CLS (and the pad tail)

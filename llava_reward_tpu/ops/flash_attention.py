@@ -225,6 +225,9 @@ def _flash_fwd_hm_call(
     return pl.pallas_call(
         kernel,
         interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024
+        ),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=grid,
@@ -865,6 +868,7 @@ def _fa_direct_kernel(
     g: int,
     D: int,
     q_offset: int,
+    rope_on: bool = True,
 ):
     b = pl.program_id(0)
     start = kv_start_ref[b]
@@ -876,6 +880,8 @@ def _fa_direct_kernel(
     half = D // 2
 
     def rope(h, c, s):
+        if not rope_on:
+            return h
         rot = jnp.concatenate([-h[:, half:], h[:, :half]], axis=1)
         return h * c + rot * s
 
@@ -938,11 +944,13 @@ def _direct_path_supported(
 def _fused_qkv_attention_direct(
     qkv, cos, sin, kv_start, *,
     n_heads, head_dim, causal, sliding_window, scale,
+    valid_len: Optional[int] = None,
 ):
     B, S, C = qkv.shape
     D = head_dim
     qsz = n_heads * D
     g = _direct_group(n_heads, D)
+    assert g is not None, (n_heads, D)  # caller gates on _direct_path_supported
     block_q = _pick_block_q(S, D, 1, qkv.dtype.itemsize)
     # VMEM fit against the raised 64MB limit: double-buffered K/V g-head
     # columns + fp32 score tiles (2 alive under the sub-pipeline) + rope rows
@@ -953,15 +961,20 @@ def _fused_qkv_attention_direct(
     while S % block_q != 0:
         block_q -= 64
     nq = S // block_q
+    rope_on = cos is not None
+    if not rope_on:
+        cos = jnp.zeros((B, S, D), qkv.dtype)
+        sin = cos
     cosb = jnp.broadcast_to(cos, (B, S, D))
     sinb = jnp.broadcast_to(sin, (B, S, D))
+    q_len = valid_len if valid_len is not None else S
 
     def one_call(q_block0, k_ext):
         kernel = functools.partial(
             _fa_direct_kernel,
             scale=scale, causal=causal, sliding_window=sliding_window,
-            q_len=S, block_q=block_q, g=g, D=D,
-            q_offset=q_block0 * block_q,
+            q_len=q_len, block_q=block_q, g=g, D=D,
+            q_offset=q_block0 * block_q, rope_on=rope_on,
         )
         gD = g * D
         return pl.pallas_call(
