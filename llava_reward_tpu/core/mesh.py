@@ -73,3 +73,25 @@ def world_size() -> int:
     import jax
 
     return jax.process_count()
+
+
+# ---------------------------------------------------------------- active mesh
+# The Pallas kernels are custom calls, which XLA's SPMD partitioner cannot
+# split: under plain pjit it ALL-GATHERS their operands and replicates the
+# attention on every chip (measured: 15 all-gathers in the compiled module
+# on an 8-device mesh). Registering the mesh here lets the kernel entry
+# points wrap themselves in shard_map over the batch axes so each chip runs
+# its own shard — no custom comm, full scaling.
+
+_ACTIVE_MESH = None
+
+
+def set_active_mesh(mesh) -> None:
+    """Register the mesh jitted model code runs under (trainer/eval/dryrun
+    call this right after building it; None to clear)."""
+    global _ACTIVE_MESH
+    _ACTIVE_MESH = mesh
+
+
+def get_active_mesh():
+    return _ACTIVE_MESH

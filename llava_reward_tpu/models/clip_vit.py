@@ -120,7 +120,7 @@ def _encoder_layer(
         # back in (N, S, H) with zero layout transposes; pad keys beyond
         # ``valid_len`` are masked in-kernel. LoRA deltas add onto the
         # fused projection's column groups.
-        from ..ops.flash_attention import _fused_qkv_attention_direct
+        from ..ops.flash_attention import direct_attention
 
         wk = jnp.concatenate(
             [a["q"]["kernel"], a["k"]["kernel"], a["v"]["kernel"]], axis=1
@@ -135,7 +135,7 @@ def _encoder_layer(
                      for d in deltas],
                     axis=-1,
                 )
-        attn = _fused_qkv_attention_direct(
+        attn = direct_attention(
             qkv, None, None, jnp.zeros((N,), jnp.int32),
             n_heads=nh, head_dim=hd, causal=False, sliding_window=None,
             scale=hd ** -0.5, valid_len=valid_len,

@@ -580,6 +580,45 @@ def _flash_bwd(
     return back(dqt, H), back(dkt, Hk), back(dvt, Hk)
 
 
+
+
+def _batch_shard_mesh():
+    """Active mesh + its batch axes (core/mesh.py), or (None, (), 1).
+
+    XLA's SPMD partitioner cannot split a custom call: under plain pjit it
+    all-gathers the operands and replicates the kernel on every chip
+    (measured: 15 all-gathers on an 8-device mesh). Kernel entries use this
+    to run under shard_map over the batch axes instead — each chip computes
+    its own batch shard, no communication at all."""
+    from ..core.mesh import get_active_mesh
+
+    mesh = get_active_mesh()
+    if mesh is None or mesh.devices.size <= 1:
+        return None, (), 1
+    batch_axes = tuple(
+        a for a in ("dp", "fsdp") if a in mesh.axis_names and mesh.shape[a] > 1
+    )
+    if not batch_axes:
+        return None, (), 1
+    n = 1
+    for a in batch_axes:
+        n *= mesh.shape[a]
+    return mesh, batch_axes, n
+
+
+def _shard_map_batch(core_fn, mesh, batch_axes, arg_ndims, out_ndim=4):
+    """shard_map ``core_fn`` with dim-0 batch sharding on every arg and the
+    (B, ...) output."""
+    from jax.experimental.shard_map import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    in_specs = tuple(P(batch_axes, *([None] * (nd - 1))) for nd in arg_ndims)
+    return shard_map(
+        core_fn, mesh=mesh, in_specs=in_specs,
+        out_specs=P(batch_axes, *([None] * (out_ndim - 1))), check_rep=False,
+    )
+
+
 @functools.partial(
     jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8)
 )
@@ -713,6 +752,21 @@ def flash_attention(
             raise ValueError(f"unknown mask_layout {mask_layout!r}")
     if sliding_window is not None and sliding_window >= S:
         sliding_window = None
+
+    mesh, batch_axes, nshards = _batch_shard_mesh()
+    if mesh is not None and B % nshards == 0:
+        has_mask = key_mask is not None
+
+        def core(q_, k_, v_, kv_, km_):
+            return _flash_attention_core(
+                q_, k_, v_, kv_, km_ if has_mask else None,
+                causal, sliding_window, scale, segments,
+            )
+
+        km = key_mask if has_mask else jnp.zeros((B, S), jnp.int32)
+        return _shard_map_batch(core, mesh, batch_axes, (4, 4, 4, 1, 2))(
+            q, k, v, kv_start, km
+        )
     return _flash_attention_core(
         q, k, v, kv_start, key_mask, causal, sliding_window, scale, segments
     )
@@ -1046,6 +1100,34 @@ def _fused_qkv_attention_direct(
         if nq > 1 else one_call(0, S)
 
 
+def direct_attention(
+    qkv, cos, sin, kv_start, *,
+    n_heads, head_dim, causal, sliding_window, scale,
+    valid_len=None,
+):
+    """Public mesh-aware entry for the direct kernel (CLIP tower): runs
+    under shard_map on the batch axes when a mesh is registered, so the
+    custom call partitions instead of forcing all-gathers."""
+    B = qkv.shape[0]
+    mesh, batch_axes, nshards = _batch_shard_mesh()
+    if mesh is not None and B % nshards == 0:
+        def core(qkv_, kv_):
+            return _fused_qkv_attention_direct(
+                qkv_, cos, sin, kv_,
+                n_heads=n_heads, head_dim=head_dim, causal=causal,
+                sliding_window=sliding_window, scale=scale, valid_len=valid_len,
+            )
+
+        return _shard_map_batch(core, mesh, batch_axes, (3, 1), out_ndim=3)(
+            qkv, kv_start
+        )
+    return _fused_qkv_attention_direct(
+        qkv, cos, sin, kv_start,
+        n_heads=n_heads, head_dim=head_dim, causal=causal,
+        sliding_window=sliding_window, scale=scale, valid_len=valid_len,
+    )
+
+
 def _fused_qkv_attention_fwd_impl(
     qkv, cos, sin, kv_start, key_mask, *,
     n_heads, n_kv_heads, head_dim, causal, sliding_window, scale,
@@ -1154,6 +1236,20 @@ def fused_qkv_attention(
         kv_start = jnp.sum(1 - key_padding_mask.astype(jnp.int32), axis=-1)
     if sliding_window is not None and sliding_window >= S:
         sliding_window = None
+
+    mesh, batch_axes, nshards = _batch_shard_mesh()
+    if mesh is not None and B % nshards == 0:
+        def core(qkv_, cos_, sin_, kv_):
+            return _fused_core(
+                qkv_, cos_, sin_, kv_, None,
+                n_heads, n_kv_heads, head_dim, causal, sliding_window, scale,
+            )
+
+        cosb = jnp.broadcast_to(cos, (B, S, head_dim))
+        sinb = jnp.broadcast_to(sin, (B, S, head_dim))
+        return _shard_map_batch(
+            core, mesh, batch_axes, (3, 3, 3, 1), out_ndim=3
+        )(qkv, cosb, sinb, kv_start)
     return _fused_core(
         qkv, cos, sin, kv_start, None,
         n_heads, n_kv_heads, head_dim, causal, sliding_window, scale,

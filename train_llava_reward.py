@@ -46,10 +46,15 @@ def train(args):
     family = get_family(args.model_type)
 
     # ---- mesh (the ZeRO replacement, SURVEY.md §2c)
-    from llava_reward_tpu.core.mesh import mesh_from_args, setup_distributed
+    from llava_reward_tpu.core.mesh import (
+        mesh_from_args,
+        set_active_mesh,
+        setup_distributed,
+    )
 
     setup_distributed()
     mesh = mesh_from_args(args)
+    set_active_mesh(mesh)  # kernels shard_map over the batch axes
     n_data = mesh.shape["dp"] * mesh.shape["fsdp"]
     logger.info("mesh %s (%d devices)", dict(mesh.shape), len(jax.devices()))
 
