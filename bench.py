@@ -131,6 +131,11 @@ def e2e_main():
 
 def main():
     import jax
+
+    try:  # persistent compile cache works through the axon tunnel (CLAUDE.md)
+        jax.config.update("jax_compilation_cache_dir", "/root/jaxcache")
+    except Exception:
+        pass
     import jax.numpy as jnp
 
     from llava_reward_tpu.core.config import (
