@@ -39,7 +39,7 @@ def _load_image(spec: str):
 
 class RewardService:
     def __init__(self, adaptor, tokenizer, processor, seq_len: int = 2944,
-                 max_batch: int = 8):
+                 max_batch: int = 8, batch_window_ms: float = 10.0):
         from ..preprocess.collate import collate_samples, to_reward_batch
 
         self.adaptor = adaptor
@@ -51,6 +51,9 @@ class RewardService:
         self._to_batch = to_reward_batch
         self._score = adaptor.make_score_fn(training=False)
         self._lock = threading.Lock()
+        self.batch_window_ms = batch_window_ms
+        if batch_window_ms > 0:
+            self._start_batcher()
 
     def _bucket(self, n: int) -> int:
         b = 1
@@ -89,16 +92,79 @@ class RewardService:
             crop_buckets=None,  # stable shapes across requests
         )
 
-    def score(self, caption: str, images) -> np.ndarray:
-        text = self._template(caption)
-        samples = [self.processor(text, [_load_image(im)]) for im in images]
+    # -------------------------------------------------- cross-request batching
+    #
+    # ThreadingHTTPServer gives every request its own thread; instead of
+    # serialising whole requests behind the device lock, requests enqueue
+    # their processed samples and a single batcher thread coalesces
+    # everything that arrives within ``batch_window_ms`` (or up to
+    # max_batch samples) into ONE device call — concurrent clients share a
+    # forward instead of queueing N forwards.
+
+    def _start_batcher(self):
+        import queue
+
+        self._queue = queue.Queue()
+        t = threading.Thread(target=self._batcher_loop, daemon=True)
+        t.start()
+
+    def _batcher_loop(self):
+        import time as _time
+
+        while True:
+            first = self._queue.get()
+            items = [first]
+            deadline = _time.monotonic() + self.batch_window_ms / 1000.0
+            while len(items) < self.max_batch:
+                remaining = deadline - _time.monotonic()
+                if remaining <= 0:
+                    break
+                try:
+                    items.append(self._queue.get(timeout=remaining))
+                except Exception:
+                    break
+            samples = [s for it in items for s in it["samples"]]
+            try:
+                rewards = self._score_samples(samples[: self.max_batch])
+                # overflow beyond max_batch runs as follow-up batches
+                off = self.max_batch
+                while off < len(samples):
+                    rewards = np.concatenate(
+                        [rewards, self._score_samples(samples[off : off + self.max_batch])]
+                    )
+                    off += self.max_batch
+                pos = 0
+                for it in items:
+                    k = len(it["samples"])
+                    it["result"] = rewards[pos : pos + k]
+                    pos += k
+            except Exception as e:  # pragma: no cover
+                for it in items:
+                    it["error"] = e
+            for it in items:
+                it["event"].set()
+
+    def _score_samples(self, samples) -> np.ndarray:
         n = len(samples)
         bucket = self._bucket(n)
-        samples += [samples[-1]] * (bucket - n)  # pad batch to the bucket
-        batch = self._to_batch(self._collate_family(samples))
+        padded = list(samples) + [samples[-1]] * (bucket - n)
+        batch = self._to_batch(self._collate_family(padded))
         with self._lock:
             r = np.asarray(self._score(self.adaptor.params, batch))
         return r[:n]
+
+    def score(self, caption: str, images) -> np.ndarray:
+        text = self._template(caption)
+        samples = [self.processor(text, [_load_image(im)]) for im in images]
+        if self.batch_window_ms <= 0:
+            return self._score_samples(samples)
+        item = {"samples": samples, "event": threading.Event(),
+                "result": None, "error": None}
+        self._queue.put(item)
+        item["event"].wait()
+        if item["error"] is not None:
+            raise item["error"]
+        return item["result"]
 
     def preference(self, chosen_rewards, reject_rewards) -> float:
         import jax.numpy as jnp

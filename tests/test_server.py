@@ -92,3 +92,52 @@ def test_score_base64(server_url, rng):
     b64 = "data:image/png;base64," + base64.b64encode(buf.getvalue()).decode()
     out = _post(server_url + "/score", {"caption": "tiny image", "images": [b64]})
     assert len(out["rewards"]) == 1
+
+
+def test_batcher_coalesces_concurrent_requests():
+    """Concurrent score() calls within the window share ONE device call
+    (the round-1 server serialised whole requests behind the lock)."""
+    import threading
+    import time
+
+    import numpy as np
+
+    from llava_reward_tpu.evalx.server import RewardService
+
+    svc = RewardService.__new__(RewardService)
+    svc.max_batch = 8
+    svc.batch_window_ms = 60.0
+    calls = []
+
+    def fake_score_samples(samples):
+        calls.append(len(samples))
+        time.sleep(0.02)
+        return np.arange(len(samples), dtype=np.float32)[:, None]
+
+    svc._score_samples = fake_score_samples
+    svc._template = lambda c: c
+    svc.processor = lambda text, imgs: ("sample", text)
+    svc._start_batcher()
+
+    import llava_reward_tpu.evalx.server as srv_mod
+    orig = srv_mod._load_image
+    srv_mod._load_image = lambda s: s
+    try:
+        results = {}
+
+        def req(name):
+            results[name] = svc.score(name, ["img"])
+
+        threads = [threading.Thread(target=req, args=(f"r{i}",)) for i in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=10)
+    finally:
+        srv_mod._load_image = orig
+
+    assert len(results) == 4
+    for v in results.values():
+        assert v.shape == (1, 1)
+    # 4 one-sample requests -> strictly fewer device calls than requests
+    assert sum(calls) == 4 and len(calls) < 4, calls
