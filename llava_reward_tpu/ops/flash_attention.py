@@ -1137,11 +1137,15 @@ def _fused_qkv_attention_fwd_impl(
     qsz = n_heads * D
     kvsz = n_kv_heads * D
     if _direct_path_supported(S, n_heads, n_kv_heads, D, key_mask, sliding_window):
-        return _fused_qkv_attention_direct(
-            qkv, cos, sin, kv_start,
-            n_heads=n_heads, head_dim=D, causal=causal,
-            sliding_window=sliding_window, scale=scale,
-        )
+        g = _direct_group(n_heads, D)
+        # tiny grids (small batch training recompute) pipeline poorly in
+        # the g-head direct kernel; the per-head prep path wins there
+        if B * (n_heads // g) >= 32:
+            return _fused_qkv_attention_direct(
+                qkv, cos, sin, kv_start,
+                n_heads=n_heads, head_dim=D, causal=causal,
+                sliding_window=sliding_window, scale=scale,
+            )
     qt = rope_transpose(qkv, cos, sin, col_offset=0, n_heads=n_heads, head_dim=D)
     kt = rope_transpose(qkv, cos, sin, col_offset=qsz, n_heads=n_kv_heads, head_dim=D)
     vt = rope_transpose(qkv, None, None, col_offset=qsz + kvsz,
