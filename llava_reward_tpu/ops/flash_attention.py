@@ -16,8 +16,15 @@ Design for this workload (reward scoring, seq <= ~3k):
 - head_dim is zero-padded to a lane multiple (96 -> 128 for Phi-3) in the
   wrapper: zero K columns contribute 0 to scores and zero V columns produce
   sliced-off zeros, so results are exact;
-- backward: custom VJP that recomputes with the XLA reference path (training
-  runs under remat anyway); a fused backward kernel is a later optimisation.
+- backward: fused Pallas kernel (recompute-in-kernel, fp32 dk/dv VMEM
+  accumulators over the sequential q-block steps) — see _fa_bwd_kernel;
+  LRT_XLA_ATTN_BWD=1 restores the head-chunked XLA recompute;
+- sub-block software pipelining (scores(i+1) on the MXU under softmax(i) on
+  the VPU) inside every kernel; direct-from-qkv variants read the fused
+  projection output via column BlockSpecs and write (B, S, H*D) directly;
+- under a registered mesh (core.mesh.set_active_mesh) every entry wraps
+  itself in shard_map over the batch axes, since XLA cannot partition a
+  custom call (plain pjit all-gathers the operands).
 """
 
 from __future__ import annotations

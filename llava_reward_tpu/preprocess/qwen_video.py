@@ -18,9 +18,8 @@ with a clear error when absent).
 
 from __future__ import annotations
 
-import math
 import os
-from typing import List, Optional, Sequence, Tuple, Union
+from typing import Optional, Tuple
 
 import numpy as np
 
