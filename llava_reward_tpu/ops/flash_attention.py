@@ -387,6 +387,7 @@ def _fa_bwd_kernel(
     n_q_blocks: int,
     has_mask: bool,
     segments: bool = False,
+    q_offset: int = 0,  # static q-position offset (causal block-skip calls)
 ):
     if segments:
         mask_ref, qseg_ref, dq_ref, dk_ref, dv_ref, dk_acc, dv_acc = rest
@@ -408,7 +409,7 @@ def _fa_bwd_kernel(
     ) * scale  # (R, S)
 
     row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
-    q_pos = qi * block_q + (row % block_q)
+    q_pos = q_offset + qi * block_q + (row % block_q)
     k_pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
     mask = k_pos < q_len
     mask &= k_pos >= kv_start_ref[b]
@@ -509,76 +510,110 @@ def _flash_bwd(
     vt = v.transpose(0, 2, 1, 3)
     gt = g.transpose(0, 2, 1, 3)
     nq = S_pad // block_q
-    grid = (B, Hk, nq)
-
-    kernel = functools.partial(
-        _fa_bwd_kernel,
-        scale=scale, causal=causal, sliding_window=sliding_window,
-        q_len=S, block_q=block_q, n_q_blocks=nq,
-        has_mask=key_mask is not None, segments=segments,
+    mask3 = (
+        key_mask.astype(jnp.int32)[:, None, :] if key_mask is not None else None
     )
+    interpret = jax.devices()[0].platform != "tpu"
 
-    def qspec():
-        return pl.BlockSpec(
-            (None, n_rep, block_q, D_pad),
-            lambda b, h, qi, *p: (b, h, qi, 0),
-            memory_space=pltpu.VMEM,
+    def one_call(q_block0, n_q_blocks, k_ext):
+        """One pallas_call over q blocks [q_block0, q_block0+n_q_blocks) and
+        keys [0, k_ext) — the fwd kernel's causal block-skip, mirrored:
+        early q blocks never touch (or pay for) the keys above the
+        diagonal. dk/dv come back sized (B, Hk, k_ext, D_pad)."""
+        kernel = functools.partial(
+            _fa_bwd_kernel,
+            scale=scale, causal=causal, sliding_window=sliding_window,
+            q_len=S, block_q=block_q, n_q_blocks=n_q_blocks,
+            has_mask=key_mask is not None, segments=segments,
+            q_offset=q_block0 * block_q,
         )
 
-    def kvspec():
-        return pl.BlockSpec(
-            (None, None, S_pad, D_pad),
-            lambda b, h, qi, *p: (b, h, 0, 0),
-            memory_space=pltpu.VMEM,
-        )
-
-    in_specs = [qspec(), kvspec(), kvspec(), qspec()]
-    operands = [qt, kt, vt, gt]
-    if key_mask is not None:
-        mask3 = key_mask.astype(jnp.int32)[:, None, :]
-        in_specs.append(
-            pl.BlockSpec(
-                (None, 1, S_pad),
-                lambda b, h, qi, *p: (b, 0, 0),
+        def qspec():
+            return pl.BlockSpec(
+                (None, n_rep, block_q, D_pad),
+                lambda b, h, qi, *p: (b, h, q_block0 + qi, 0),
                 memory_space=pltpu.VMEM,
             )
-        )
-        operands.append(mask3)
-        if segments:
+
+        def qspec_out():
+            return pl.BlockSpec(
+                (None, n_rep, block_q, D_pad),
+                lambda b, h, qi, *p: (b, h, qi, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        def kvspec():
+            return pl.BlockSpec(
+                (None, None, k_ext, D_pad),
+                lambda b, h, qi, *p: (b, h, 0, 0),
+                memory_space=pltpu.VMEM,
+            )
+
+        in_specs = [qspec(), kvspec(), kvspec(), qspec()]
+        operands = [qt, kt, vt, gt]
+        if mask3 is not None:
             in_specs.append(
                 pl.BlockSpec(
-                    (None, 1, block_q),
-                    lambda b, h, qi, *p: (b, 0, qi),
+                    (None, 1, k_ext),
+                    lambda b, h, qi, *p: (b, 0, 0),
                     memory_space=pltpu.VMEM,
                 )
             )
             operands.append(mask3)
+            if segments:
+                in_specs.append(
+                    pl.BlockSpec(
+                        (None, 1, block_q),
+                        lambda b, h, qi, *p: (b, 0, q_block0 + qi),
+                        memory_space=pltpu.VMEM,
+                    )
+                )
+                operands.append(mask3)
 
-    interpret = jax.devices()[0].platform != "tpu"
-    dqt, dkt, dvt = pl.pallas_call(
-        kernel,
-        interpret=interpret,
-        grid_spec=pltpu.PrefetchScalarGridSpec(
-            num_scalar_prefetch=1,
-            grid=grid,
-            in_specs=in_specs,
-            out_specs=[qspec(), kvspec(), kvspec()],
-            scratch_shapes=[
-                pltpu.VMEM((S_pad, D_pad), jnp.float32),
-                pltpu.VMEM((S_pad, D_pad), jnp.float32),
+        return pl.pallas_call(
+            kernel,
+            interpret=interpret,
+            compiler_params=pltpu.CompilerParams(
+                vmem_limit_bytes=64 * 1024 * 1024
+            ),
+            grid_spec=pltpu.PrefetchScalarGridSpec(
+                num_scalar_prefetch=1,
+                grid=(B, Hk, n_q_blocks),
+                in_specs=in_specs,
+                out_specs=[qspec_out(), kvspec(), kvspec()],
+                scratch_shapes=[
+                    pltpu.VMEM((k_ext, D_pad), jnp.float32),
+                    pltpu.VMEM((k_ext, D_pad), jnp.float32),
+                ],
+            ),
+            out_shape=[
+                jax.ShapeDtypeStruct((B, H, n_q_blocks * block_q, D_pad), q.dtype),
+                jax.ShapeDtypeStruct((B, Hk, k_ext, D_pad), k.dtype),
+                jax.ShapeDtypeStruct((B, Hk, k_ext, D_pad), v.dtype),
             ],
-        ),
-        out_shape=[
-            jax.ShapeDtypeStruct((B, H, S_pad, D_pad), q.dtype),
-            jax.ShapeDtypeStruct((B, Hk, S_pad, D_pad), k.dtype),
-            jax.ShapeDtypeStruct((B, Hk, S_pad, D_pad), v.dtype),
-        ],
-        cost_estimate=pl.CostEstimate(
-            flops=10 * B * H * S_pad * S_pad * D_pad,
-            bytes_accessed=4 * (qt.size + kt.size + vt.size) * q.dtype.itemsize,
-            transcendentals=B * H * S_pad * S_pad,
-        ),
-    )(kv_start.astype(jnp.int32), *operands)
+            cost_estimate=pl.CostEstimate(
+                flops=10 * B * H * n_q_blocks * block_q * k_ext * D_pad,
+                bytes_accessed=4 * (qt.size + kt.size + vt.size) * q.dtype.itemsize,
+                transcendentals=B * H * n_q_blocks * block_q * k_ext,
+            ),
+        )(kv_start.astype(jnp.int32), *operands)
+
+    if causal and nq > 1:
+        dqs, dk_sum, dv_sum = [], None, None
+        for qi in range(nq):
+            k_ext = (qi + 1) * block_q
+            dq_i, dk_i, dv_i = one_call(qi, 1, k_ext)
+            dqs.append(dq_i)
+            pad = [(0, 0), (0, 0), (0, S_pad - k_ext), (0, 0)]
+            dk_i = jnp.pad(dk_i.astype(jnp.float32), pad)
+            dv_i = jnp.pad(dv_i.astype(jnp.float32), pad)
+            dk_sum = dk_i if dk_sum is None else dk_sum + dk_i
+            dv_sum = dv_i if dv_sum is None else dv_sum + dv_i
+        dqt = jnp.concatenate(dqs, axis=2)
+        dkt = dk_sum.astype(k.dtype)
+        dvt = dv_sum.astype(v.dtype)
+    else:
+        dqt, dkt, dvt = one_call(0, nq, S_pad)
 
     def back(x, n_heads):
         x = x.transpose(0, 2, 1, 3)
