@@ -399,57 +399,78 @@ def _fa_bwd_kernel(
     qi = pl.program_id(2)
 
     n_rep, Bq, D = q_ref.shape
-    q = q_ref[...].reshape(n_rep * Bq, D)
-    g = g_ref[...].reshape(n_rep * Bq, D)
     k = k_ref[...]
     v = v_ref[...]
+    start = kv_start_ref[b]
 
-    scores = jax.lax.dot_general(
-        q, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    ) * scale  # (R, S)
+    # same sub-block software pipeline as the forward: independent row
+    # groups give Mosaic MXU work to overlap with the VPU softmax/VJP chain
+    n_sub = 1
+    for cand in (2,):
+        if Bq % (cand * 8) == 0 and Bq // cand >= 64:
+            n_sub = cand
+            break
+    rsz = Bq // n_sub
 
-    row = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 0)
-    q_pos = q_offset + qi * block_q + (row % block_q)
-    k_pos = jax.lax.broadcasted_iota(jnp.int32, scores.shape, 1)
-    mask = k_pos < q_len
-    mask &= k_pos >= kv_start_ref[b]
-    if segments:
-        k_seg = mask_ref[0, :][None, :]
-        q_seg_rows = jnp.tile(qseg_ref[0, :], (n_rep,))[:, None]
-        mask &= (k_seg != 0) & (k_seg == q_seg_rows)
-    elif has_mask:
-        mask &= mask_ref[0, :][None, :] != 0
-    if causal:
-        mask &= k_pos <= q_pos
-        if sliding_window is not None:
-            mask &= k_pos > q_pos - sliding_window
-    scores = jnp.where(mask, scores, NEG_INF)
+    def scores_of(i):
+        qs = q_ref[:, i * rsz : (i + 1) * rsz, :].reshape(n_rep * rsz, D)
+        sc = jax.lax.dot_general(
+            qs, k, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        ) * scale  # (r, S)
+        row = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 0)
+        q_pos = q_offset + qi * block_q + i * rsz + (row % rsz)
+        k_pos = jax.lax.broadcasted_iota(jnp.int32, sc.shape, 1)
+        mask = k_pos < q_len
+        mask &= k_pos >= start
+        if segments:
+            k_seg = mask_ref[0, :][None, :]
+            q_seg = qseg_ref[0, i * rsz : (i + 1) * rsz]
+            q_seg_rows = jnp.tile(q_seg, (n_rep,))[:, None]
+            mask &= (k_seg != 0) & (k_seg == q_seg_rows)
+        elif has_mask:
+            mask &= mask_ref[0, :][None, :] != 0
+        if causal:
+            mask &= k_pos <= q_pos
+            if sliding_window is not None:
+                mask &= k_pos > q_pos - sliding_window
+        return jnp.where(mask, sc, NEG_INF), qs
 
-    m = jnp.max(scores, axis=-1, keepdims=True)
-    e = jnp.exp(scores - m)
-    p = e / jnp.sum(e, axis=-1, keepdims=True)  # (R, S) fp32
+    def tail_of(i, sc, qs):
+        gs = g_ref[:, i * rsz : (i + 1) * rsz, :].reshape(n_rep * rsz, D)
+        m = jnp.max(sc, axis=-1, keepdims=True)
+        e = jnp.exp(sc - m)
+        p = e / jnp.sum(e, axis=-1, keepdims=True)  # fp32
+        # dp = g V^T ; softmax VJP: ds = p * (dp - rowsum(p * dp))
+        dp = jax.lax.dot_general(
+            gs, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        delta = jnp.sum(p * dp, axis=-1, keepdims=True)
+        ds = p * (dp - delta) * scale  # fp32
+        ds_lp = ds.astype(k.dtype)  # low-precision MXU operands
+        p_lp = p.astype(k.dtype)
+        dq = jax.lax.dot_general(
+            ds_lp, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        dq_ref[:, i * rsz : (i + 1) * rsz, :] = dq.astype(dq_ref.dtype).reshape(
+            n_rep, rsz, D
+        )
+        # dk = ds^T q, dv = p^T g — contraction over the rep-collapsed rows
+        dk_i = jax.lax.dot_general(
+            ds_lp, qs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )  # (S, D)
+        dv_i = jax.lax.dot_general(
+            p_lp, gs, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
+        )
+        return dk_i, dv_i
 
-    # dp = g V^T ; softmax VJP: ds = p * (dp - rowsum(p * dp))
-    dp = jax.lax.dot_general(
-        g, v, (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    delta = jnp.sum(p * dp, axis=-1, keepdims=True)
-    ds = (p * (dp - delta) * scale)  # fp32
-    ds_lp = ds.astype(q.dtype)  # low-precision operand for the MXU
-    p_lp = p.astype(q.dtype)
-
-    dq = jax.lax.dot_general(
-        ds_lp, k, (((1,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
-    dq_ref[...] = dq.astype(dq_ref.dtype).reshape(n_rep, Bq, D)
-
-    # dk = ds^T q, dv = p^T g — contraction over the (rep-collapsed) q rows
-    dk_part = jax.lax.dot_general(
-        ds_lp, q, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )  # (S, D)
-    dv_part = jax.lax.dot_general(
-        p_lp, g, (((0,), (0,)), ((), ())), preferred_element_type=jnp.float32
-    )
+    dk_part = dv_part = None
+    prev = scores_of(0)
+    for i in range(1, n_sub + 1):
+        cur = scores_of(i) if i < n_sub else None
+        dk_i, dv_i = tail_of(i - 1, *prev)
+        dk_part = dk_i if dk_part is None else dk_part + dk_i
+        dv_part = dv_i if dv_part is None else dv_part + dv_i
+        prev = cur
 
     @pl.when(qi == 0)
     def _init():
