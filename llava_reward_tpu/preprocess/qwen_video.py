@@ -118,14 +118,26 @@ def fetch_video(
     if isinstance(video, str):
         frames, sample_fps = _decode_video_path(ele)
     elif isinstance(video, (list, tuple)):
+        # frame-list input: each frame goes through fetch_image with the
+        # caller's pixel budget and the list pads to a FRAME_FACTOR
+        # multiple — the reference returns these as-is with NO video-budget
+        # re-resize (vision_process.py:318-331), so neither do we
+        kw = {}
+        if "min_pixels" in ele:
+            kw["min_pixels"] = ele["min_pixels"]
+        if "max_pixels" in ele:
+            kw["max_pixels"] = ele["max_pixels"]
         imgs = [
-            fetch_image(f) if isinstance(f, Image.Image) else Image.fromarray(np.asarray(f))
+            fetch_image(
+                f if isinstance(f, Image.Image) else Image.fromarray(np.asarray(f)),
+                image_factor, **kw,
+            )
             for f in video
         ]
         n = ceil_by_factor(len(imgs), FRAME_FACTOR)
         imgs = list(imgs) + [imgs[-1]] * (n - len(imgs))
-        frames = np.stack([np.asarray(i.convert("RGB")) for i in imgs])
-        sample_fps = ele.get("fps", FPS)
+        frames = np.stack([np.asarray(i.convert("RGB"), np.float32) for i in imgs])
+        return frames, float(ele.get("fps", FPS))
     else:
         frames = np.asarray(video)
         assert frames.ndim == 4 and frames.shape[-1] == 3, frames.shape
