@@ -97,6 +97,7 @@ def _qwen_family() -> ModelFamily:
             min_pixels=cfg.min_pixels,
             max_pixels=cfg.max_pixels,
             image_token_id=cfg.text.image_token_id,
+            device_preproc=os.environ.get("LRT_DEVICE_PREPROC", "1") != "0",
         )
 
     def tok_setup(tok):

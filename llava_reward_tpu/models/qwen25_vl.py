@@ -209,6 +209,23 @@ def vision_forward(
     zeroed on invalid slots."""
     B, P, _ = patches.shape
     mm = vc.spatial_merge_size ** 2
+    if patches.dtype == jnp.uint8:
+        # device-side preprocessing: host ships raw uint8 patches (4x fewer
+        # wire bytes); the CLIP normalisation applies here with mean/std
+        # broadcast in the patch-flat (C, tps, ph, pw) order — XLA fuses it
+        # into the patch_embed matmul operand load
+        from ..preprocess.qwen_vision import patch_norm_vectors
+
+        mean_vec, std_vec = patch_norm_vectors(
+            vc.in_channels, vc.temporal_patch_size, vc.patch_size
+        )
+        patches = (
+            patches.astype(jnp.float32) / 255.0 - jnp.asarray(mean_vec)
+        ) / jnp.asarray(std_vec)
+        # pad slots held u8 zeros; keep them zero post-normalise like the
+        # host path does
+        patches = patches * (patch_valid != 0)[..., None]
+        patches = patches.astype(params["patch_embed"].dtype)
     h = patches @ params["patch_embed"]  # (B, P, H)
     cos, sin = _vision_rope(rot_pos, vc.head_dim)
 

@@ -27,7 +27,6 @@ import functools
 
 import numpy as np
 
-import jax
 import jax.numpy as jnp
 
 OPENAI_CLIP_MEAN = np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)

@@ -234,7 +234,7 @@ def collate_qwen_samples(
     patches = patch_valid = rot_pos = unit_gather = num_img_tokens = None
     if has_image:
         ref = next(s for s in samples if s.patches is not None)
-        patches = np.zeros((B, patch_budget, ref.patches.shape[-1]), np.float32)
+        patches = np.zeros((B, patch_budget, ref.patches.shape[-1]), ref.patches.dtype)
         patch_valid = np.zeros((B, patch_budget), np.int32)  # segment ids, 0=pad
         rot_pos = np.zeros((B, patch_budget, 2), np.int32)
         unit_gather = np.zeros((B, unit_budget), np.int32)

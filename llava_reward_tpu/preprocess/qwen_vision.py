@@ -89,6 +89,16 @@ def fetch_image(
     return img.resize((w_bar, h_bar), Image.BICUBIC)
 
 
+def patch_norm_vectors(C: int = 3, tps: int = 2, ps: int = 14):
+    """(patch_dim,) CLIP mean/std broadcast in the patch-flat
+    (C, tps, ph, pw) order — the device-side normaliser for uint8 patch
+    banks (models/qwen25_vl.vision_forward)."""
+    rep = tps * ps * ps
+    mean = np.repeat(OPENAI_CLIP_MEAN.astype(np.float32), rep)
+    std = np.repeat(OPENAI_CLIP_STD.astype(np.float32), rep)
+    return mean, std
+
+
 def image_to_patches(
     image,
     patch_size: int = 14,
@@ -96,14 +106,22 @@ def image_to_patches(
     merge_size: int = 2,
     min_pixels: int = MIN_PIXELS,
     max_pixels: int = MAX_PIXELS,
+    layout: str = "f32",
 ) -> Tuple[np.ndarray, Tuple[int, int, int]]:
-    """PIL image -> (num_patches, C*tps*ps*ps) float32 + grid (t, h, w), in
+    """PIL image -> (num_patches, C*tps*ps*ps) + grid (t, h, w), in
     merged-block-major patch order with per-patch flat layout (C, tps, ph, pw)
-    — exactly Qwen2VLImageProcessor._preprocess's flatten order."""
+    — exactly Qwen2VLImageProcessor._preprocess's flatten order.
+
+    ``layout='f32'``: CLIP-normalised float32 (host does everything);
+    ``layout='u8'``: RAW uint8 patches — normalisation runs on device
+    (patch_norm_vectors), cutting host work and wire bytes 4x."""
     img = fetch_image(image, patch_size * merge_size, min_pixels, max_pixels)
     w_bar, h_bar = img.size
-    x = np.asarray(img, dtype=np.float32) / 255.0
-    x = (x - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD  # (H, W, C)
+    if layout == "u8":
+        x = np.asarray(img, dtype=np.uint8)
+    else:
+        x = np.asarray(img, dtype=np.float32) / 255.0
+        x = (x - OPENAI_CLIP_MEAN) / OPENAI_CLIP_STD  # (H, W, C)
     x = x.transpose(2, 0, 1)  # (C, H, W)
     x = np.tile(x[None], (temporal_patch_size, 1, 1, 1))  # (tps, C, H, W)
 
@@ -116,7 +134,7 @@ def image_to_patches(
     # -> (gh/m, gw/m, m, m, C, tps, ps, ps): merged-block-major patch order
     x = x.transpose(2, 5, 3, 6, 1, 0, 4, 7)
     patches = x.reshape(gh * gw, C * temporal_patch_size * patch_size * patch_size)
-    return patches.astype(np.float32), (1, gh, gw)
+    return patches, (1, gh, gw)
 
 
 def _merged_block_pos(gh: int, gw: int, m: int) -> np.ndarray:
@@ -247,7 +265,13 @@ class Qwen25VLProcessor:
         min_pixels: int = 256 * 28 * 28,  # (utils/utils.py:35-37)
         max_pixels: int = 1280 * 28 * 28,
         image_token_id: int = 151655,
+        device_preproc: bool = False,
     ):
+        # ship RAW uint8 patches and normalise on device (4x fewer wire
+        # bytes; models/qwen25_vl.vision_forward). Images only — video
+        # frames stay f32 (they are resampled floats, and u8 rounding
+        # would deviate from the reference)
+        self.device_preproc = device_preproc
         self.tokenizer = tokenizer
         self.patch_size = patch_size
         self.temporal_patch_size = temporal_patch_size
@@ -287,6 +311,7 @@ class Qwen25VLProcessor:
         patches, grid = image_to_patches(
             images[0], self.patch_size, self.temporal_patch_size,
             self.merge_size, self.min_pixels, self.max_pixels,
+            layout="u8" if self.device_preproc else "f32",
         )
         m = self.merge_size
         n_merged = (grid[1] // m) * (grid[2] // m)

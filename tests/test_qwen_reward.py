@@ -110,3 +110,48 @@ def test_qwen_train_step():
     rb = _batch(cfg, proc, [("<img> ugly", _img(6))])
     state, m = step(state, frozen, cb, rb)
     assert np.isfinite(float(m["preference_loss"]))
+
+
+def test_qwen_u8_device_preproc_matches_f32(rng):
+    """uint8 patch banks + on-device normalisation (vision_forward) vs the
+    host-normalised f32 path — identical vision tokens."""
+    from llava_reward_tpu.core.config import qwen_tiny_config
+    from llava_reward_tpu.io.hf_qwen import params_from_hf_state_dict
+    from llava_reward_tpu.models import qwen25_vl
+    from llava_reward_tpu.preprocess.qwen_vision import Qwen25VLProcessor
+    from test_qwen_parity import _hf_model
+
+    cfg = qwen_tiny_config(vision_depth=2, vision_hidden=32)
+    hf = _hf_model(cfg)
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = params_from_hf_state_dict(sd, cfg)
+
+    class Tok:
+        def __call__(self, text):
+            return {"input_ids": [
+                cfg.text.image_token_id if t == "<|image_pad|>" else hash(t) % 90 + 3
+                for t in text.split()
+            ]}
+
+    from PIL import Image
+
+    img = Image.fromarray((rng.random((60, 88, 3)) * 255).astype(np.uint8))
+    kw = dict(min_pixels=4 * 28 * 28, max_pixels=256 * 28 * 28,
+              window_size=cfg.vision.window_size,
+              image_token_id=cfg.text.image_token_id)
+    s_f32 = Qwen25VLProcessor(Tok(), device_preproc=False, **kw)(
+        "a <|image_pad|> b", [img])
+    s_u8 = Qwen25VLProcessor(Tok(), device_preproc=True, **kw)(
+        "a <|image_pad|> b", [img])
+    assert s_u8.patches.dtype == np.uint8 and s_f32.patches.dtype == np.float32
+
+    def run(s):
+        return np.asarray(qwen25_vl.vision_forward(
+            params["visual"], cfg.vision,
+            jnp.asarray(s.patches[None]), jnp.asarray(s.patch_valid[None]),
+            jnp.asarray(s.rot_pos[None]), jnp.asarray(s.unit_gather[None]),
+            jnp.asarray(np.asarray([s.num_img_tokens], np.int32)),
+            attn_impl="xla",
+        ))
+
+    np.testing.assert_allclose(run(s_u8), run(s_f32), atol=2e-5, rtol=1e-5)
