@@ -191,3 +191,39 @@ def test_nf4_decoder_forward_close(rng):
     ).last_hidden_state
     rel = float(jnp.linalg.norm(hq - h) / jnp.linalg.norm(h))
     assert rel < 0.15, rel  # 4-bit: close but not exact
+
+
+def test_vision_lora_on_fused_clip_path(rng):
+    """The fused qkv CLIP layer adds LoRA deltas onto the projection's
+    column groups — must equal the per-projection xla path."""
+    from llava_reward_tpu.lora.lora import init_vision_lora
+    from llava_reward_tpu.models import clip_vit as cv
+
+    cfg = phi3v_tiny_config(vision_layers=2, vision_hidden=256).vision
+    params = jax.device_get(cv.init_params(jax.random.PRNGKey(0), cfg))
+    lora = init_vision_lora(jax.random.PRNGKey(5), cfg, 4, 8)
+    # nonzero B so deltas actually contribute
+    lora = jax.tree_util.tree_map(
+        lambda x: x + 0.01 if x.ndim >= 2 else x, lora
+    )
+    x = jnp.asarray(rng.standard_normal((1, cfg.image_size, cfg.image_size, 3)) * 0.5,
+                    jnp.float32)
+    a = cv.extract_patch_features(params, cfg, x, attn_impl="xla", lora=lora)
+
+    S = a.shape[1] + 1
+    h = cv.embed_patches(params, cfg, x)
+    h = cv.layer_norm(h, params["pre_layernorm"]["weight"],
+                      params["pre_layernorm"]["bias"], cfg.layer_norm_eps)
+    S_pad = (S + 63) // 64 * 64
+    h = jnp.pad(h, [(0, 0), (0, S_pad - S), (0, 0)])
+    n_act = cfg.num_active_layers
+    layers = jax.tree_util.tree_map(lambda t: t[:n_act], params["layers"])
+    lora_act = jax.tree_util.tree_map(lambda t: t[:n_act], lora)
+
+    def scan_fn(carry, xs):
+        lp, ll = xs
+        return cv._encoder_layer(carry, lp, cfg, "fused", ll, S), None
+
+    hf, _ = jax.lax.scan(scan_fn, h, (layers, lora_act))
+    b = hf[:, 1:S, :]
+    assert float(jnp.abs(a - b).max()) < 1e-4
