@@ -406,7 +406,7 @@ def _fa_bwd_kernel(
     # same sub-block software pipeline as the forward: independent row
     # groups give Mosaic MXU work to overlap with the VPU softmax/VJP chain
     n_sub = 1
-    for cand in (2,):
+    for cand in (2,):  # 4 subs measured WORSE here (0.466 vs 0.503 pairs/s)
         if Bq % (cand * 8) == 0 and Bq // cand >= 64:
             n_sub = cand
             break
