@@ -166,6 +166,13 @@ def _encoder_layer(
     return residual + x2
 
 
+def _on_tpu() -> bool:
+    try:
+        return jax.devices()[0].platform == "tpu"
+    except Exception:
+        return False
+
+
 def extract_patch_features(
     params: dict,
     cfg: VisionConfig,
@@ -196,13 +203,12 @@ def extract_patch_features(
     # qkv+direct-kernel layer (no q/k/v layout transposes; pad keys masked
     # in-kernel, pad rows never mix back since attention is the only
     # cross-token op). ~10% extra matmul rows buys the fast attention path.
+    # Inference-only: direct_attention is a raw pallas_call with no
+    # custom_vjp, so when vision LoRA is trainable (lora is not None)
+    # stay on the differentiable mha path (r2 advisor, high).
     S = h.shape[1]
     valid_len = None
-    try:
-        on_tpu = jax.devices()[0].platform == "tpu"
-    except Exception:
-        on_tpu = False
-    if attn_impl in ("auto", "pallas") and on_tpu and S % 64 != 0:
+    if attn_impl in ("auto", "pallas") and _on_tpu() and S % 64 != 0 and lora is None:
         from ..ops.flash_attention import _direct_group
 
         if _direct_group(cfg.num_heads, cfg.head_dim) is not None:

@@ -177,8 +177,17 @@ def _collate_u8(
     real = max(
         s.crop_grid[0] * s.crop_grid[1] for s in samples if s.pixel_values is not None
     )
-    buckets = U8_CROP_BUCKETS if crop_buckets else ()
-    nc = min((b for b in buckets if b >= real), default=real)
+    if crop_buckets:
+        # f32 buckets count [global]+crops; the u8 bank holds crops only
+        # (the global view is computed on device), hence the -1.
+        buckets = tuple(sorted(b - 1 for b in crop_buckets))
+        nc = min((b for b in buckets if b >= real), default=real)
+    else:
+        # crop_buckets=None means "stable shapes across requests" (server
+        # path): a FIXED max-bucket bank, mirroring the f32 path's full
+        # 17-crop layout — NOT batch-max, which would recompile per grid
+        # size (r2 advisor, medium).
+        nc = max(max(U8_CROP_BUCKETS), real)
 
     pixel_values = np.zeros((B, nc, 336, 336, 3), dtype=np.uint8)
     crop_grid = np.ones((B, 2), dtype=np.int32)
@@ -233,6 +242,33 @@ def collate_qwen_samples(
     has_image = any(s.patches is not None for s in samples)
     patches = patch_valid = rot_pos = unit_gather = num_img_tokens = None
     if has_image:
+        # Mixed-dtype batch (device-preproc images ship RAW uint8 patches,
+        # video frames stay CLIP-normalised f32): silently casting one
+        # modality into the other's array would wrap normalised floats into
+        # uint8 or skip the model's dtype-gated normalisation (r2 advisor,
+        # medium). Unify on host: normalise the u8 samples to f32 exactly
+        # as models/qwen25_vl.vision_forward would on device.
+        dtypes = {s.patches.dtype for s in samples if s.patches is not None}
+        if len(dtypes) > 1:
+            import dataclasses
+
+            from .qwen_vision import OPENAI_CLIP_MEAN, OPENAI_CLIP_STD
+
+            def _host_norm(p, valid):
+                rep = p.shape[-1] // 3
+                mean = np.repeat(OPENAI_CLIP_MEAN.astype(np.float32), rep)
+                std = np.repeat(OPENAI_CLIP_STD.astype(np.float32), rep)
+                out = (p.astype(np.float32) / 255.0 - mean) / std
+                # pad slots held u8 zeros; keep them zero post-normalise
+                # (same re-mask vision_forward applies on device)
+                return out * (valid != 0)[:, None]
+
+            samples = [
+                dataclasses.replace(s, patches=_host_norm(s.patches, s.patch_valid))
+                if s.patches is not None and s.patches.dtype == np.uint8
+                else s
+                for s in samples
+            ]
         ref = next(s for s in samples if s.patches is not None)
         patches = np.zeros((B, patch_budget, ref.patches.shape[-1]), ref.patches.dtype)
         patch_valid = np.zeros((B, patch_budget), np.int32)  # segment ids, 0=pad

@@ -229,11 +229,15 @@ def mrope_position_ids_video(
     tokens_per_second: float = 4.0,
 ) -> np.ndarray:
     """(3, S) M-RoPE with the Qwen2.5 video temporal axis: unit (t, h, w)
-    gets t = t0 + t_idx * int(second_per_grid_t) * tokens_per_second —
-    HF's get_rope_index casts second_per_grid_t to the LONG index dtype
-    BEFORE multiplying (modeling_qwen2_5_vl.py time_tensor), so fractional
-    seconds floor; reproduced bit-exactly here. tokens_per_second default 4
-    (Qwen2_5_VLVisionConfig)."""
+    gets t = t0 + t_idx * int(second_per_grid_t) * tokens_per_second.
+
+    The int() cast is deliberate and verified: HF 4.57's get_rope_index does
+    ``second_per_grid_t = torch.as_tensor(spg, dtype=range_tensor.dtype)``
+    where range_tensor is torch.arange(...) (int64), so fractional seconds
+    floor BEFORE the multiply (spg=0.5 -> all-zero t, matching HF exactly;
+    covered vs the real HF in test_qwen_video.py
+    test_mrope_video_matches_hf_get_rope_index with spgt=0.5).
+    tokens_per_second default 4 (Qwen2_5_VLVisionConfig)."""
     S = input_ids.shape[0]
     pos = np.zeros((3, S), np.int64)
     vid_mask = input_ids == video_token_id

@@ -103,6 +103,37 @@ def test_end_to_end_u8_matches_f32_path(rng):
     np.testing.assert_allclose(r_u8, r_f32, atol=2e-4, rtol=1e-4)
 
 
+def test_u8_none_buckets_mean_static_shape(rng):
+    """crop_buckets=None is the server's 'stable shapes across requests'
+    request: the u8 path must produce a FIXED max-bucket bank, not the
+    batch-max grid (which would recompile per request; r2 advisor)."""
+    tok = _Tok()
+    proc = Phi3VProcessor(tok, num_crops=16, device_preproc=True)
+    shapes = set()
+    for size in [(380, 400), (300, 900), (700, 700)]:
+        img = Image.fromarray(
+            (rng.random((size[0], size[1], 3)) * 255).astype(np.uint8)
+        )
+        s = proc("a <|image_1|> b", [img])
+        batch = collate_samples([s], 2800, 0, crop_buckets=None)
+        shapes.add(batch["pixel_values"].shape)
+    assert len(shapes) == 1  # one compiled program across requests
+    assert next(iter(shapes))[1] == 16  # the fixed max u8 bucket
+
+
+def test_u8_custom_bucket_list_honored(rng):
+    """A caller-provided bucket list reaches the u8 path (translated from
+    [global]+crops counts to crops-only counts)."""
+    tok = _Tok()
+    proc = Phi3VProcessor(tok, num_crops=16, device_preproc=True)
+    img = Image.fromarray((rng.random((380, 400, 3)) * 255).astype(np.uint8))
+    s = proc("a <|image_1|> b", [img])
+    hc, wc = s.crop_grid
+    real = hc * wc
+    batch = collate_samples([s], 2800, 0, crop_buckets=(real + 1,))
+    assert batch["pixel_values"].shape[1] == real
+
+
 def test_mixed_batch_falls_back_to_f32(rng):
     """One u8 sample + one f32 sample (as an extreme-aspect fallback would
     produce) -> the collator converts and the batch comes out f32."""

@@ -227,3 +227,37 @@ def test_vision_lora_on_fused_clip_path(rng):
     hf, _ = jax.lax.scan(scan_fn, h, (layers, lora_act))
     b = hf[:, 1:S, :]
     assert float(jnp.abs(a - b).max()) < 1e-4
+
+
+def test_vision_lora_grad_stays_on_differentiable_path(monkeypatch):
+    """r2 advisor (high): on TPU, extract_patch_features switched to the
+    raw-pallas direct kernel (no custom_vjp) even with trainable vision
+    LoRA, crashing --train_vision at trace time. The fused switch must be
+    inference-only (lora is None)."""
+    import jax
+    import jax.numpy as jnp
+
+    from llava_reward_tpu.core.config import VisionConfig
+    from llava_reward_tpu.lora.lora import init_vision_lora
+    from llava_reward_tpu.models import clip_vit
+
+    # geometry that WOULD take the fused path: S % 64 != 0 and a valid
+    # direct group (num_heads * head_dim group hits a 128 column multiple)
+    cfg = VisionConfig(
+        hidden_size=128, intermediate_size=256, num_layers=2, num_heads=4,
+        image_size=70, patch_size=14,
+    )
+    monkeypatch.setattr(clip_vit, "_on_tpu", lambda: True)
+    key = jax.random.PRNGKey(0)
+    params = clip_vit.init_params(key, cfg)
+    lora = init_vision_lora(jax.random.PRNGKey(1), cfg, rank=4, alpha=8.0)
+    pix = jax.random.normal(jax.random.PRNGKey(2), (1, 70, 70, 3))
+
+    def loss(lo):
+        return clip_vit.extract_patch_features(
+            params, cfg, pix, attn_impl="auto", lora=lo
+        ).sum()
+
+    # with trainable LoRA the differentiable mha path must be used -> grad works
+    g = jax.grad(loss)(lora)
+    assert jnp.isfinite(g["q"]["a"]).all()

@@ -155,3 +155,44 @@ def test_qwen_u8_device_preproc_matches_f32(rng):
         ))
 
     np.testing.assert_allclose(run(s_u8), run(s_f32), atol=2e-5, rtol=1e-5)
+
+
+def test_qwen_mixed_u8_f32_batch_unifies(rng):
+    """A u8 image sample collated with an f32 sample (the video scenario:
+    device-preproc images ship uint8 patches, video frames stay f32) must be
+    normalised on host to one f32 batch — not silently cast (r2 advisor)."""
+    rcfg = RewardConfig(is_general_preference=True, value_head_dim=2)
+    cfg, params, proc_f32 = _setup(rcfg)
+    tok = FakeQwenTokenizer(cfg.text.image_token_id)
+    proc_u8 = Qwen25VLProcessor(
+        tok, min_pixels=cfg.min_pixels, max_pixels=cfg.max_pixels,
+        image_token_id=cfg.text.image_token_id, device_preproc=True,
+    )
+    s_u8 = proc_u8("<img> sharp photo", [_img(10)])
+    s_f32 = proc_f32("<img> soft photo", [_img(11, 64, 200)])
+    assert s_u8.patches.dtype == np.uint8 and s_f32.patches.dtype == np.float32
+
+    mixed = collate_qwen_samples(
+        [s_u8, s_f32], 80, cfg.text.pad_token_id,
+        patch_budget=512, unit_budget=128,
+    )
+    assert mixed["pixel_values"].dtype == np.float32
+
+    s_ref = proc_f32("<img> sharp photo", [_img(10)])
+    pure = collate_qwen_samples(
+        [s_ref, s_f32], 80, cfg.text.pad_token_id,
+        patch_budget=512, unit_budget=128,
+    )
+    np.testing.assert_allclose(
+        mixed["pixel_values"], pure["pixel_values"], atol=2e-5, rtol=1e-5
+    )
+
+    r_mixed = reward_forward(
+        params, cfg, rcfg, to_reward_batch(mixed), training=False, attn_impl="xla"
+    ).reward
+    r_pure = reward_forward(
+        params, cfg, rcfg, to_reward_batch(pure), training=False, attn_impl="xla"
+    ).reward
+    np.testing.assert_allclose(
+        np.asarray(r_mixed), np.asarray(r_pure), rtol=1e-4, atol=1e-5
+    )
