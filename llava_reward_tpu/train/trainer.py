@@ -181,6 +181,36 @@ class RewardTrainer:
                 p, cfg, rcfg, batch, training=False, lora=l, vision_lora=vl
             ).reward
 
+        if self.cls_based:
+            # pointwise (cls) eval: sigmoid(reward) vs binary labels, same
+            # acc/F1/recall set the batch harness reports (evalx/metrics;
+            # reference intent: rm_trainer_general_preference.py:240-345)
+            rewards, labels = [], []
+            for batch in self.eval_loader:
+                b, y = batch
+                r = score(params, lora, vision_lora, to_reward_batch(b))
+                rewards.extend(np.asarray(r).reshape(-1).tolist())
+                labels.extend(np.asarray(y).reshape(-1).tolist())
+            if jax.process_count() > 1:
+                from jax.experimental import multihost_utils
+
+                rewards = np.asarray(
+                    multihost_utils.process_allgather(np.asarray(rewards, np.float64))
+                ).reshape(-1).tolist()
+                labels = np.asarray(
+                    multihost_utils.process_allgather(np.asarray(labels, np.int64))
+                ).reshape(-1).tolist()
+            from ..evalx.metrics import pointwise_metrics
+
+            pm = pointwise_metrics(rewards, labels)
+            acc = pm["accuracy"]
+            metrics = {
+                "eval_acc": acc,
+                "eval_f1": pm["f1"],
+                "eval_recall": pm["recall"],
+                "eval_num_samples": pm["num_samples"],
+            }
+            return self._finish_eval(global_step, metrics, acc)
         probs = []
         for batch in self.eval_loader:
             chosen, rejected, c_rate, r_rate = batch
@@ -216,6 +246,9 @@ class RewardTrainer:
             "eval_mean_prob": pm["mean_prob"],
             "eval_num_pairs": pm["num_pairs"],
         }
+        return self._finish_eval(global_step, metrics, acc)
+
+    def _finish_eval(self, global_step, metrics, acc):
         logger.info("eval step %d %s", global_step, metrics)
         if self.save_best_model and acc > self.best_eval_acc:
             self.best_eval_acc = acc

@@ -235,3 +235,43 @@ def test_dryrun_multichip_entry():
     import __graft_entry__ as ge
 
     ge.dryrun_multichip(8)
+
+
+def test_pointwise_eval_during_training(rng):
+    """cls (pointwise) runs eval-during-training: trainer.evaluate has a
+    pointwise branch reporting acc/F1/recall via evalx.metrics (VERDICT r2
+    item 6; reference intent rm_trainer_general_preference.py:240-345)."""
+    from llava_reward_tpu.preprocess.collate import Batch
+    from llava_reward_tpu.train.trainer import RewardTrainer
+    from llava_reward_tpu.train.train_step import make_cls_loss_fn
+    from llava_reward_tpu.train.optim import make_optimizer
+    from llava_reward_tpu.models import phi3v
+    from llava_reward_tpu.reward import init_head_params
+
+    cfg = phi3v_tiny_config(num_layers=2, vision_layers=1)
+    rcfg = RewardConfig(is_general_preference=False)
+    rcfg.layer_id = cfg.decoder.num_layers
+    frozen = {"backbone": phi3v.init_params(jax.random.PRNGKey(0), cfg)}
+    trainable = {
+        "head": init_head_params(jax.random.PRNGKey(1), cfg, rcfg),
+        "lora": None, "projector": None, "vision_lora": None,
+    }
+    B, S = 4, 12
+    b = Batch(
+        input_ids=rng.integers(2, 100, (B, S)).astype(np.int32),
+        attention_mask=np.ones((B, S), np.int32),
+        splice_idx=np.full((B, S), -1, np.int32),
+        pixel_values=None, img_gather_idx=None,
+        num_img_tokens=np.zeros((B,), np.int32),
+    )
+    labels = np.asarray([1, 0, 1, 0], np.float32)
+    trainer = RewardTrainer(
+        cfg=cfg, rcfg=rcfg, frozen=frozen, trainable=trainable,
+        tx=make_optimizer(1e-3, 10),
+        loss_fn=make_cls_loss_fn(cfg, rcfg, attn_impl="xla", remat=False),
+        train_loader=[], eval_loader=[(b, labels)], cls_based=True,
+    )
+    m = trainer.evaluate(global_step=1)
+    assert set(m) == {"eval_acc", "eval_f1", "eval_recall", "eval_num_samples"}
+    assert m["eval_num_samples"] == B
+    assert 0.0 <= m["eval_acc"] <= 1.0 and np.isfinite(m["eval_f1"])

@@ -199,7 +199,7 @@ def train(args):
     )
     train_loader.sampler = sampler
     eval_loader = None
-    if eval_ds is not None and not cls_based:
+    if eval_ds is not None:
         eval_loader = PrefetchLoader(
             eval_ds,
             GroupSampler(len(eval_ds), shuffle=False),
