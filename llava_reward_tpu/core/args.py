@@ -34,6 +34,9 @@ def build_train_parser() -> argparse.ArgumentParser:
     p.add_argument("--logging_steps", type=int, default=1)
     p.add_argument("--eval_steps", type=int, default=-1)
     p.add_argument("--ckpt_path", type=str, default="./ckpt/checkpoints_rm")
+    p.add_argument("--ckpt_steps", type=int, default=-1,
+                   help="save the resumable engine state (orbax) every N "
+                   "steps for preemption safety; -1 = only at end of fit")
     p.add_argument("--max_ckpt_num", type=int, default=3)
     p.add_argument("--max_ckpt_mem", type=float, default=1000)
     p.add_argument("--load_checkpoint", action="store_true", default=False)

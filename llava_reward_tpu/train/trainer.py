@@ -63,6 +63,8 @@ class RewardTrainer:
         save_best_model: bool = False,
         model_type: str = "phi3v",
         lora_targets: Optional[tuple] = None,
+        ckpt_path: Optional[str] = None,
+        ckpt_steps: int = -1,
     ):
         self.cfg, self.rcfg = cfg, rcfg
         self.frozen = frozen
@@ -91,6 +93,12 @@ class RewardTrainer:
         self.save_best_model = save_best_model
         self.best_eval_acc = float("-inf")
         self.model_type = model_type
+        # preemption safety: engine-state (orbax) checkpoints every
+        # ckpt_steps optimizer steps; fit() skips already-consumed batches
+        # on resume so the loss trajectory continues where it stopped
+        # (reference analog: deepspeed save_ckpt cadence, deepspeed.py:467)
+        self.ckpt_path = ckpt_path
+        self.ckpt_steps = ckpt_steps
         # the actual trained LoRA target list rides into adapter_config.json
         # so the reference's PEFT load_adapter wraps the right modules
         # (ADVICE r1: qwen/llava runs must not advertise phi3 targets)
@@ -106,12 +114,21 @@ class RewardTrainer:
 
         global_step = 1
         loss_mean = 0.0
+        # resume: state.step counts train_step calls already applied; the
+        # samplers are deterministic per (seed, epoch), so skipping that
+        # many batches replays the identical data order and the loss
+        # trajectory continues exactly where the preempted run stopped
+        skip = int(self.state.step)
         for epoch in range(self.max_epochs):
             sampler = getattr(self.train_loader, "sampler", None)
             if sampler is not None and hasattr(sampler, "set_epoch"):
                 sampler.set_epoch(epoch)
             t_step = time.perf_counter()
             for batch in self.train_loader:
+                if skip > 0:
+                    skip -= 1
+                    global_step += 1
+                    continue
                 if self.cls_based:
                     b, labels = batch
                     args = (to_reward_batch(b), jnp.asarray(labels))
@@ -156,6 +173,12 @@ class RewardTrainer:
                     tag = f"global_step{global_step}"
                     self.save_artifact(os.path.join(self.save_path, tag))
                     self.clean_old_checkpoints()
+                if (
+                    self.ckpt_path is not None
+                    and self.ckpt_steps > 0
+                    and global_step % self.ckpt_steps == 0
+                ):
+                    self.save_train_ckpt(self.ckpt_path)
                 global_step += 1
             self.save_artifact(os.path.join(self.save_path, f"epoch_{epoch}"))
         if self.wandb is not None:

@@ -273,6 +273,8 @@ def train(args):
                 tuple(args.target_modules) if args.target_modules
                 else family.lora_targets
             ),
+            ckpt_path=args.ckpt_path,
+            ckpt_steps=args.ckpt_steps,
         )
         if args.load_checkpoint and os.path.isdir(
             os.path.join(args.ckpt_path, "train_state")
