@@ -97,7 +97,9 @@ def forward(
         newline = jnp.broadcast_to(
             params["vision"]["image_newline"][None, None, :], (B, 1, H)
         ).astype(bank.dtype)
-        bank = jnp.concatenate([bank, newline], axis=1)
+        # newline row LEADS (llava_processor.NEWLINE_IDX == 0): gather
+        # indices stay valid when the collator pads the tile axis
+        bank = jnp.concatenate([newline, bank], axis=1)
 
         gathered = jnp.take_along_axis(bank, img_gather_idx[..., None], axis=1)
         slot = jnp.arange(gathered.shape[1])[None, :]

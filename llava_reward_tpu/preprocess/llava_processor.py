@@ -112,6 +112,40 @@ def max_tiles(grid_pinpoints=DEFAULT_GRID_PINPOINTS) -> int:
     return max((h // 336) * (w // 336) for h, w in grid_pinpoints)
 
 
+NEWLINE_IDX = 0  # the newline row LEADS the bank (sentinel-rows-lead, like
+# phi3v's crop bank) so gather indices are invariant to how many tiles the
+# collator pads the crop axis to — required for multi-image / mixed batches
+
+
+def anyres_token_indices(
+    orig_h: int,
+    orig_w: int,
+    grid_pinpoints=DEFAULT_GRID_PINPOINTS,
+    feat: int = 24,
+    tile_offset: int = 0,
+) -> List[int]:
+    """Token->bank-row indices for ONE image whose tiles start at
+    ``tile_offset`` in the concatenated crop axis. Bank layout: row 0 =
+    newline, then tile t's feature (i, j) at 1 + t*feat^2 + i*feat + j.
+    Token order matches pack_image_features: [base (tile 0, row-major)]
+    then the unpadded tile grid row-major with a newline after each row."""
+    g = anyres_feature_geometry(orig_h, orig_w, grid_pinpoints)
+    nh, nw = g["tiles"]
+    r0, r1 = g["rows"]
+    c0, c1 = g["cols"]
+
+    def row(t, i, j):
+        return 1 + (tile_offset + t) * feat * feat + i * feat + j
+
+    toks: List[int] = [row(0, i, j) for i in range(feat) for j in range(feat)]
+    for r in range(r0, r1):
+        for c in range(c0, c1):
+            t = 1 + (r // feat) * nw + (c // feat)
+            toks.append(row(t, r % feat, c % feat))
+        toks.append(NEWLINE_IDX)
+    return toks
+
+
 def build_anyres_gather_idx(
     orig_h: int,
     orig_w: int,
@@ -119,28 +153,11 @@ def build_anyres_gather_idx(
     grid_pinpoints=DEFAULT_GRID_PINPOINTS,
     feat: int = 24,
 ) -> Tuple[np.ndarray, int]:
-    """Gather indices into the dense bank:
-    bank row t*576 + i*24 + j = tile t's feature (i, j); last row = newline.
-    Token order matches pack_image_features: [base (tile 0, row-major)] then
-    the unpadded tile grid row-major with a newline after each row."""
-    g = anyres_feature_geometry(orig_h, orig_w, grid_pinpoints)
-    nh, nw = g["tiles"]
-    r0, r1 = g["rows"]
-    c0, c1 = g["cols"]
-
-    n_tiles_bank = 1 + max_tiles(grid_pinpoints)
-    NEWLINE = n_tiles_bank * feat * feat
-
-    toks: List[int] = list(range(feat * feat))  # base = tile 0
-    for r in range(r0, r1):
-        for c in range(c0, c1):
-            t = 1 + (r // feat) * nw + (c // feat)
-            toks.append(t * feat * feat + (r % feat) * feat + (c % feat))
-        toks.append(NEWLINE)
+    toks = anyres_token_indices(orig_h, orig_w, grid_pinpoints, feat)
     n = len(toks)
     if n > budget:
         raise ValueError(f"image tokens {n} exceed budget {budget}")
-    out = np.full((budget,), NEWLINE, dtype=np.int32)
+    out = np.full((budget,), NEWLINE_IDX, dtype=np.int32)
     out[:n] = np.asarray(toks, np.int32)
     return out, n
 
@@ -225,32 +242,62 @@ class LlavaNextProcessor:
             return LlavaProcessedSample(
                 ids, np.ones_like(ids), np.full_like(ids, -1), None, None, 0, (0, 0)
             )
-        if len(images) != 1:
-            raise NotImplementedError("one image per sample (v1)")
-
-        pixel_values, (oh, ow) = preprocess_image_anyres(
-            images[0], self.grid_pinpoints
-        )
-        gidx, n_img = build_anyres_gather_idx(
-            oh, ow, self.img_token_budget, self.grid_pinpoints
-        )
-
+        # Multi-image: one <image> token per image in prompt order; each
+        # image's (1+max_tiles) bank concatenates along the crop axis and
+        # its gather indices offset by the preceding images' tiles
+        # (HF pack_image_features iterates image_features per image).
         pos = np.nonzero(ids == self.image_token_id)[0]
-        assert len(pos) == 1, "prompt must contain one <image> token"
-        p = int(pos[0])
-        ids = np.concatenate(
-            [ids[:p], np.zeros(n_img, np.int32), ids[p + 1 :]]
+        assert len(pos) == len(images), (
+            f"prompt has {len(pos)} <image> tokens for {len(images)} images"
         )
-        splice = np.full(len(ids), -1, np.int32)
-        splice[p : p + n_img] = np.arange(n_img)
+        tiles_per_img = 1 + max_tiles(self.grid_pinpoints)
+        budget = self.img_token_budget
+        if len(images) > 1:
+            budget = budget * len(images)
+
+        banks, sizes, toks_per_img = [], [], []
+        for i, image in enumerate(images):
+            bank, (oh, ow) = preprocess_image_anyres(image, self.grid_pinpoints)
+            banks.append(bank)
+            sizes.append((oh, ow))
+            toks_per_img.append(
+                anyres_token_indices(
+                    oh, ow, self.grid_pinpoints, tile_offset=i * tiles_per_img
+                )
+            )
+
+        gidx = np.full((budget,), NEWLINE_IDX, np.int32)
+        all_toks = [t for toks in toks_per_img for t in toks]
+        if len(all_toks) > budget:
+            raise ValueError(f"image tokens {len(all_toks)} exceed budget {budget}")
+        gidx[: len(all_toks)] = np.asarray(all_toks, np.int32)
+
+        # expand each <image> token to its run; global token slots are
+        # consecutive across images
+        segs, splice_segs = [], []
+        cursor = 0
+        slot_base = 0
+        for p, toks in zip(pos, toks_per_img):
+            n_i = len(toks)
+            segs.append(ids[cursor:p])
+            splice_segs.append(np.full(p - cursor, -1, np.int32))
+            segs.append(np.zeros(n_i, np.int32))
+            splice_segs.append(slot_base + np.arange(n_i, dtype=np.int32))
+            slot_base += n_i
+            cursor = p + 1
+        segs.append(ids[cursor:])
+        splice_segs.append(np.full(len(ids) - cursor, -1, np.int32))
+        ids = np.concatenate(segs).astype(np.int32)
+        splice = np.concatenate(splice_segs)
+
         return LlavaProcessedSample(
             input_ids=ids,
             attention_mask=np.ones_like(ids),
             splice_idx=splice,
-            pixel_values=pixel_values,
+            pixel_values=np.concatenate(banks, axis=0),
             img_gather_idx=gidx,
-            num_img_tokens=n_img,
-            image_size=(oh, ow),
+            num_img_tokens=slot_base,
+            image_size=sizes[0] if len(sizes) == 1 else sizes,
         )
 
 

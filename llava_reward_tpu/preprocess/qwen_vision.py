@@ -203,20 +203,22 @@ def windowize(
 def mrope_position_ids(
     input_ids: np.ndarray,
     image_token_id: int,
-    grid: Optional[Tuple[int, int, int]],
+    grids,  # one (t, h, w) tuple, a list of them (one per image), or None
     merge_size: int = 2,
 ) -> np.ndarray:
-    """(3, S) int32 (get_rope_index, single image, no video): text advances
-    all axes; image tokens hold t and sweep (h, w) over the merged grid."""
+    """(3, S) int32 (get_rope_index, images, no video): text advances all
+    axes; each image-token run holds t and sweeps (h, w) over that image's
+    merged grid. Multiple images consume their grids in prompt order."""
     S = input_ids.shape[0]
     pos = np.zeros((3, S), np.int64)
     img_mask = input_ids == image_token_id
-    if grid is None or not img_mask.any():
+    if grids is None or not img_mask.any():
         p = np.arange(S)
         return np.stack([p, p, p]).astype(np.int32)
+    if isinstance(grids, tuple) and len(grids) == 3 and np.isscalar(grids[0]):
+        grids = [grids]
 
-    _, gh, gw = grid
-    lh, lw = gh // merge_size, gw // merge_size
+    img_no = 0
     cur = 0
     i = 0
     while i < S:
@@ -225,6 +227,9 @@ def mrope_position_ids(
             cur += 1
             i += 1
         else:
+            _, gh, gw = grids[img_no]
+            lh, lw = gh // merge_size, gw // merge_size
+            img_no += 1
             n = lh * lw
             t0 = cur
             pos[0, i : i + n] = t0
@@ -305,41 +310,74 @@ class Qwen25VLProcessor:
                 ids, np.ones_like(ids), np.stack([p, p, p]),
                 np.full_like(ids, -1), None, None, None, None, None, 0,
             )
-        if len(images) != 1:
-            raise NotImplementedError("one image per sample (v1)")
-
-        patches, grid = image_to_patches(
-            images[0], self.patch_size, self.temporal_patch_size,
-            self.merge_size, self.min_pixels, self.max_pixels,
-            layout="u8" if self.device_preproc else "f32",
-        )
+        # Multi-image: one <|image_pad|> per image in prompt order (the
+        # reference's process_vision_info walks arbitrary per-message image
+        # lists, qwen_vl_utils/vision_process.py:352-377). Each image keeps
+        # its own windowed layout; they concatenate along the patch axis
+        # (window boundaries stay aligned — every image's layout is a whole
+        # number of windows) and full-attention blocks separate images via
+        # per-image segment ids, exactly as HF's cu_seqlens do.
         m = self.merge_size
-        n_merged = (grid[1] // m) * (grid[2] // m)
-
+        mm = m * m
         pad_positions = np.nonzero(ids == self.image_token_id)[0]
-        assert len(pad_positions) == 1, "prompt must contain one <|image_pad|>"
-        p = int(pad_positions[0])
-        ids = np.concatenate(
-            [ids[:p], np.full(n_merged, self.image_token_id, np.int32), ids[p + 1 :]]
+        assert len(pad_positions) == len(images), (
+            f"prompt has {len(pad_positions)} <|image_pad|> for "
+            f"{len(images)} images"
         )
-        splice = np.full(len(ids), -1, np.int32)
-        splice[p : p + n_merged] = np.arange(n_merged)
 
-        patch_src, patch_valid, unit_gather, _ = windowize(
-            grid, self.window_size, self.patch_size, self.merge_size
-        )
-        rot = _merged_block_pos(grid[1], grid[2], m)  # original patch order
+        per_patches, per_grids = [], []
+        for img in images:
+            patches, grid = image_to_patches(
+                img, self.patch_size, self.temporal_patch_size,
+                self.merge_size, self.min_pixels, self.max_pixels,
+                layout="u8" if self.device_preproc else "f32",
+            )
+            per_patches.append(patches)
+            per_grids.append(grid)
+
+        # expand each pad token to its image's merged-unit run; global unit
+        # slots are consecutive across images (image i's units follow i-1's)
+        segs, splice_segs = [], []
+        cursor = 0
+        unit_base = 0
+        for p, grid in zip(pad_positions, per_grids):
+            n_merged = (grid[1] // m) * (grid[2] // m)
+            segs.append(ids[cursor:p])
+            splice_segs.append(np.full(p - cursor, -1, np.int32))
+            segs.append(np.full(n_merged, self.image_token_id, np.int32))
+            splice_segs.append(unit_base + np.arange(n_merged, dtype=np.int32))
+            unit_base += n_merged
+            cursor = p + 1
+        segs.append(ids[cursor:])
+        splice_segs.append(np.full(len(ids) - cursor, -1, np.int32))
+        ids = np.concatenate(segs).astype(np.int32)
+        splice = np.concatenate(splice_segs)
+
+        # windowed layouts concatenate; unit_gather offsets by the previous
+        # images' WINDOWED unit counts, segment ids are i+1 per image
+        w_patches, w_valid, w_rot, gathers = [], [], [], []
+        w_unit_base = 0
+        for i, (patches, grid) in enumerate(zip(per_patches, per_grids)):
+            patch_src, valid, unit_gather, _ = windowize(
+                grid, self.window_size, self.patch_size, self.merge_size
+            )
+            rot = _merged_block_pos(grid[1], grid[2], m)
+            w_patches.append(patches[patch_src] * valid[:, None])
+            w_valid.append((valid.astype(np.int32)) * (i + 1))
+            w_rot.append(rot[patch_src] * valid[:, None].astype(np.int32))
+            gathers.append(unit_gather + w_unit_base)
+            w_unit_base += len(patch_src) // mm
         return QwenProcessedSample(
             input_ids=ids,
             attention_mask=np.ones_like(ids),
-            position_ids=mrope_position_ids(ids, self.image_token_id, grid, m),
+            position_ids=mrope_position_ids(ids, self.image_token_id, per_grids, m),
             splice_idx=splice,
-            patches=patches[patch_src] * patch_valid[:, None],
-            patch_valid=patch_valid,
-            rot_pos=rot[patch_src] * patch_valid[:, None].astype(np.int32),
-            unit_gather=unit_gather,
-            grid_thw=grid,
-            num_img_tokens=n_merged,
+            patches=np.concatenate(w_patches, axis=0),
+            patch_valid=np.concatenate(w_valid),
+            rot_pos=np.concatenate(w_rot, axis=0),
+            unit_gather=np.concatenate(gathers),
+            grid_thw=per_grids[0] if len(per_grids) == 1 else tuple(per_grids),
+            num_img_tokens=unit_base,
         )
 
     # ------------------------------------------------------------- video

@@ -4,6 +4,7 @@ import numpy as np
 import pytest
 
 import jax
+import jax.numpy as jnp
 
 from llava_reward_tpu.core.config import RewardConfig, phi3v_tiny_config
 from llava_reward_tpu.models import phi3v
@@ -76,3 +77,209 @@ def test_mixed_batch_single_and_two_image(rng):
     out = reward_forward(params, cfg, rcfg, rb, training=False, attn_impl="xla")
     assert out.reward.shape == (2, 1)
     assert np.all(np.isfinite(np.asarray(out.reward)))
+
+
+def test_qwen_multi_image_full_forward_matches_hf(rng):
+    """Two images per sample through Qwen25VLProcessor (VERDICT r2 item 7:
+    the v1 NotImplementedError is gone) vs the HF model fed concatenated
+    pixel_values + a 2-row image_grid_thw. Covers per-image segment ids in
+    full-attn blocks, windowed-layout concatenation, unit_gather offsets,
+    multi-grid M-RoPE (reference: qwen_vl_utils/vision_process.py:352-377)."""
+    import torch
+
+    from test_qwen_parity import _hf_model
+    from llava_reward_tpu.core.config import qwen_tiny_config
+    from llava_reward_tpu.io.hf_qwen import params_from_hf_state_dict
+    from llava_reward_tpu.models import qwen25_vl
+    from llava_reward_tpu.preprocess.qwen_vision import (
+        Qwen25VLProcessor,
+        image_to_patches,
+    )
+
+    cfg = qwen_tiny_config(num_layers=2, vision_depth=2)
+    hf = _hf_model(cfg)
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = params_from_hf_state_dict(sd, cfg)
+    tc = cfg.text
+
+    vstart = 101
+    hf.config.vision_start_token_id = vstart
+    hf.model.config.vision_start_token_id = vstart
+
+    class Tok:
+        def __call__(self, text):
+            out = []
+            for t in text.split():
+                if t == "<|image_pad|>":
+                    out.append(tc.image_token_id)
+                elif t == "<|vision_start|>":
+                    out.append(vstart)
+                else:
+                    out.append(hash(t) % 90 + 3)
+            return {"input_ids": out}
+
+    from PIL import Image
+
+    img1 = Image.fromarray((rng.random((80, 80, 3)) * 255).astype(np.uint8))
+    img2 = Image.fromarray((rng.random((112, 56, 3)) * 255).astype(np.uint8))
+    proc = Qwen25VLProcessor(
+        Tok(), min_pixels=cfg.min_pixels, max_pixels=cfg.max_pixels,
+        window_size=cfg.vision.window_size, image_token_id=tc.image_token_id,
+    )
+    s = proc(
+        "first <|vision_start|> <|image_pad|> then <|vision_start|> "
+        "<|image_pad|> compare", [img1, img2],
+    )
+
+    p1, g1 = image_to_patches(img1, min_pixels=cfg.min_pixels, max_pixels=cfg.max_pixels)
+    p2, g2 = image_to_patches(img2, min_pixels=cfg.min_pixels, max_pixels=cfg.max_pixels)
+
+    ids = s.input_ids
+    S = len(ids)
+    mask = np.ones((1, S), np.int32)
+
+    # position parity vs HF's own get_rope_index
+    pos_hf, _ = hf.model.get_rope_index(
+        torch.from_numpy(ids[None].astype(np.int64)),
+        image_grid_thw=torch.tensor([list(g1), list(g2)]),
+        attention_mask=torch.ones(1, S, dtype=torch.long),
+    )
+    np.testing.assert_array_equal(s.position_ids, pos_hf[:, 0].numpy())
+
+    out = qwen25_vl.forward(
+        params, cfg,
+        jnp.asarray(ids[None]), jnp.asarray(mask),
+        jnp.asarray(s.position_ids[:, None, :]),
+        jnp.asarray(s.patches[None]), jnp.asarray(s.patch_valid[None]),
+        jnp.asarray(s.rot_pos[None]), jnp.asarray(s.unit_gather[None]),
+        jnp.asarray(s.splice_idx[None]),
+        jnp.asarray(np.array([s.num_img_tokens], np.int32)),
+        attn_impl="xla",
+    )
+    with torch.no_grad():
+        ref = hf.model(
+            input_ids=torch.from_numpy(ids[None].astype(np.int64)),
+            attention_mask=torch.from_numpy(mask.astype(np.int64)),
+            pixel_values=torch.from_numpy(np.concatenate([p1, p2], axis=0)),
+            image_grid_thw=torch.tensor([list(g1), list(g2)]),
+        ).last_hidden_state.numpy()
+    np.testing.assert_allclose(
+        np.asarray(out.last_hidden_state)[0], ref[0], rtol=5e-4, atol=5e-4
+    )
+
+
+def test_llava_multi_image_full_forward_matches_hf(rng):
+    """Two images per llava sample (VERDICT r2 item 7): per-image anyres
+    banks concatenate on the crop axis, gather indices offset by preceding
+    tiles, newline-sentinel-leads layout; vs the HF LlavaNext model fed
+    (2, max_patches, C, H, W) pixel_values + image_sizes."""
+    import torch
+
+    from test_llava_parity import _hf_model
+    from llava_reward_tpu.core.config import llava_tiny_config
+    from llava_reward_tpu.io.hf_llava import params_from_hf_state_dict
+    from llava_reward_tpu.models import llava_next
+    from llava_reward_tpu.preprocess.llava_processor import LlavaNextProcessor
+
+    cfg = llava_tiny_config(num_layers=2, vision_layers=2)
+    hf = _hf_model(cfg)
+    sd = {k: v.detach().numpy() for k, v in hf.state_dict().items()}
+    params = params_from_hf_state_dict(sd, cfg)
+    tc = cfg.text
+
+    class Tok:
+        def __call__(self, text):
+            return {"input_ids": [
+                tc.image_token_id if t == "<image>" else hash(t) % 90 + 3
+                for t in text.split()
+            ]}
+
+    from PIL import Image
+
+    img1 = Image.fromarray((rng.random((500, 640, 3)) * 255).astype(np.uint8))
+    img2 = Image.fromarray((rng.random((340, 340, 3)) * 255).astype(np.uint8))
+    proc = LlavaNextProcessor(
+        Tok(), image_token_id=tc.image_token_id,
+        grid_pinpoints=cfg.grid_pinpoints,
+    )
+    s = proc("first <image> versus <image> which", [img1, img2])
+
+    S = len(s.input_ids)
+    mask = np.ones((1, S), np.int32)
+    out = llava_next.forward(
+        params, cfg,
+        jnp.asarray(s.input_ids[None]), jnp.asarray(mask),
+        jnp.asarray(s.pixel_values[None]),
+        jnp.asarray(s.img_gather_idx[None]), jnp.asarray(s.splice_idx[None]),
+        jnp.asarray(np.array([s.num_img_tokens], np.int32)),
+        attn_impl="xla",
+    )
+
+    # HF: ids with the image token repeated per image run
+    ids_hf = np.where(
+        s.splice_idx >= 0, tc.image_token_id, s.input_ids
+    ).astype(np.int64)
+    tiles_per_img = s.pixel_values.shape[0] // 2
+    pix_hf = torch.from_numpy(
+        s.pixel_values.reshape(2, tiles_per_img, 336, 336, 3)
+        .transpose(0, 1, 4, 2, 3)
+    )
+    (oh1, ow1), (oh2, ow2) = s.image_size
+    with torch.no_grad():
+        ref = hf.model(
+            input_ids=torch.from_numpy(ids_hf[None]),
+            attention_mask=torch.from_numpy(mask.astype(np.int64)),
+            pixel_values=pix_hf,
+            image_sizes=torch.tensor([[oh1, ow1], [oh2, ow2]]),
+        ).last_hidden_state.numpy()
+    np.testing.assert_allclose(
+        np.asarray(out.last_hidden_state)[0], ref[0], rtol=5e-4, atol=5e-4
+    )
+
+
+def test_llava_mixed_image_count_batch(rng):
+    """A 1-image and a 2-image llava sample in ONE batch: the collator pads
+    the crop axis to the batch max and the newline-leads gather layout keeps
+    every index valid — the 1-image row must score identically to its
+    single-sample batch."""
+    from llava_reward_tpu.core.config import llava_tiny_config
+    from llava_reward_tpu.models import llava_next
+    from llava_reward_tpu.preprocess.llava_processor import LlavaNextProcessor
+    from llava_reward_tpu.reward import init_head_params, reward_forward
+
+    cfg = llava_tiny_config()
+    rcfg = RewardConfig(is_general_preference=True, value_head_dim=2)
+    rcfg.layer_id = cfg.text.num_layers
+    params = {
+        "backbone": llava_next.init_params(jax.random.PRNGKey(0), cfg),
+        "head": init_head_params(jax.random.PRNGKey(1), cfg, rcfg),
+    }
+
+    class Tok:
+        def __call__(self, text):
+            return {"input_ids": [
+                cfg.text.image_token_id if t == "<image>" else hash(t) % 400 + 3
+            for t in text.split()]}
+
+    from PIL import Image
+
+    proc = LlavaNextProcessor(
+        Tok(), image_token_id=cfg.text.image_token_id,
+        grid_pinpoints=cfg.grid_pinpoints,
+    )
+    imgs = [
+        Image.fromarray((rng.random((300, 400, 3)) * 255).astype(np.uint8))
+        for _ in range(3)
+    ]
+    s1 = proc("<image> describe", [imgs[0]])
+    s2 = proc("<image> versus <image> pick", [imgs[1], imgs[2]])
+    S = max(len(s1.input_ids), len(s2.input_ids)) + 3
+
+    mixed = to_reward_batch(collate_samples([s1, s2], S, 0))
+    solo = to_reward_batch(collate_samples([s1], S, 0))
+    r_mixed = reward_forward(params, cfg, rcfg, mixed, training=False, attn_impl="xla").reward
+    r_solo = reward_forward(params, cfg, rcfg, solo, training=False, attn_impl="xla").reward
+    assert np.all(np.isfinite(np.asarray(r_mixed)))
+    np.testing.assert_allclose(
+        np.asarray(r_mixed)[0], np.asarray(r_solo)[0], rtol=1e-4, atol=1e-5
+    )
