@@ -30,6 +30,13 @@ def main():
     p.add_argument("--ft_projector", action="store_true", default=True)
     p.add_argument("--profile_dir", default=None)
     p.add_argument("--attn_impl", default="auto", choices=["auto", "pallas", "xla"])
+    p.add_argument("--load_in_8bit", action="store_true", default=False,
+                   help="int8 inference mode: frozen-backbone matmuls run "
+                   "W8A8 on the MXU's double-rate int8 path (2x bf16 peak); "
+                   "LoRA is merged before quantization")
+    p.add_argument("--load_in_4bit", action="store_true", default=False,
+                   help="weight-only nf4 backbone (the reference's "
+                   "--load_in_4bit; HBM capacity, not speed)")
     # reference ft-phi harness parity (batch_inference_rm_ft_phi.py:28-55):
     # full-FT checkpoints are loaded straight from pm_path and the reward
     # config may be given on the CLI instead of reward_config.yaml
@@ -56,10 +63,11 @@ def main():
     from llava_reward_tpu.evalx.batch_inference import batch_rm_inference
 
     family = get_family(args.model_type)
+    quant = "w8a8" if args.load_in_8bit else ("nf4" if args.load_in_4bit else None)
     adaptor = load_reward_adaptor(
         args.pretrain, args.pm_path, model_type=args.model_type,
         ft_projector=args.ft_projector and not args.full_ft,
-        compute_dtype=jnp.bfloat16,
+        compute_dtype=jnp.bfloat16, quantize=quant,
     )
     # CLI reward-config overrides (reference passes these for ft checkpoints)
     if args.is_general_preference is not None:

@@ -230,11 +230,19 @@ def load_reward_adaptor(
     dtype=np.float32,
     ft_projector: bool = True,
     compute_dtype=None,
+    quantize: Optional[str] = None,
+    quantize_min_size: int = 1 << 20,
 ) -> RewardAdaptor:
     """Rebuild the reward model from a base checkpoint dir + reward artifact.
 
     ``compute_dtype``: cast params for the device (e.g. jnp.bfloat16, the
     reference's torch_dtype=torch.bfloat16 at reward_adaptor_loader.py:36).
+
+    ``quantize``: frozen-backbone quantization applied AFTER the LoRA merge
+    (so the adapter rides inside the quantized weights): 'w8a8' (int8
+    inference mode, --load_in_8bit: matmuls run on the v5e's 394 TOPS int8
+    path), 'nf4' / 'int4' / 'int8' (weight-only; the reference's
+    --load_in_4bit analog, rw_model_general_preference.py:166-185).
     """
     rcfg = load_reward_config(pm_path)
     sd = load_torch_state_dict(pretrain)
@@ -327,14 +335,34 @@ def load_reward_adaptor(
             if proj is not None:
                 backbone["vision"]["projector"] = proj
 
+    if quantize:
+        from ..utils.quantize import quantize_stacked_layers
+
+        scheme = {"w8a8": "w8a8", "nf4": "nf4"}.get(quantize, "absmax")
+        bits = 4 if quantize in ("nf4", "int4") else 8
+        # DECODER ONLY: the int8 MXU double-rate path pays off at
+        # decoder-class shapes (K>=3072, large N: measured 388 T/s vs 192
+        # bf16 on v5e) but LOSES at CLIP-class shapes (K~1024: up to 3x
+        # slower, PERF.md round 3) — the vision tower stays bf16.
+        dec = backbone["decoder"] if model_type == "phi3v" else backbone["text"]
+        dec["layers"] = quantize_stacked_layers(
+            dec["layers"], bits=bits, scheme=scheme, min_size=quantize_min_size
+        )
+
     params = {"backbone": backbone, "head": head}
     if compute_dtype is not None:
-        import jax
 
-        params = jax.tree_util.tree_map(
-            lambda x: x.astype(compute_dtype)
-            if np.issubdtype(np.asarray(x).dtype, np.floating)
-            else x,
-            params,
-        )
+        def cast(v):
+            if isinstance(v, dict):
+                # quantized leaf-dicts keep their int8 codes and f32 scales
+                from ..utils.quantize import is_quantized, is_w8a8
+
+                if is_quantized(v) or is_w8a8(v):
+                    return v
+                return {k: cast(x) for k, x in v.items()}
+            if np.issubdtype(np.asarray(v).dtype, np.floating):
+                return v.astype(compute_dtype)
+            return v
+
+        params = cast(params)
     return RewardAdaptor(cfg=cfg, rcfg=rcfg, params=params, model_type=model_type)

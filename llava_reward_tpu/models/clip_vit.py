@@ -112,6 +112,8 @@ def _encoder_layer(
     nh, hd = cfg.num_heads, cfg.head_dim
     N, S, H = h.shape
 
+    from ..utils.quantize import is_w8a8, qmatmul
+
     residual = h
     x = layer_norm(h, lp["ln1"]["weight"], lp["ln1"]["bias"], cfg.layer_norm_eps)
     a = lp["attn"]
@@ -122,11 +124,21 @@ def _encoder_layer(
         # fused projection's column groups.
         from ..ops.flash_attention import direct_attention
 
-        wk = jnp.concatenate(
-            [a["q"]["kernel"], a["k"]["kernel"], a["v"]["kernel"]], axis=1
-        )
+        if is_w8a8(a["q"]["kernel"]):
+            # concat the int8 weights + per-channel scales along the out
+            # axis so the fused projection runs ONE int8 matmul
+            wk = {
+                k: jnp.concatenate(
+                    [a[n]["kernel"][k] for n in ("q", "k", "v")], axis=-1
+                )
+                for k in a["q"]["kernel"]
+            }
+        else:
+            wk = jnp.concatenate(
+                [a["q"]["kernel"], a["k"]["kernel"], a["v"]["kernel"]], axis=1
+            )
         wb = jnp.concatenate([a["q"]["bias"], a["k"]["bias"], a["v"]["bias"]])
-        qkv = x @ wk + wb
+        qkv = qmatmul(x, wk) + wb
         if lora_layer is not None:
             deltas = [_lora_delta(x, lora_layer, n) for n in ("q", "k", "v")]
             if any(not isinstance(d, float) for d in deltas):
@@ -141,14 +153,14 @@ def _encoder_layer(
             scale=hd ** -0.5, valid_len=valid_len,
         )
     else:
-        q = x @ a["q"]["kernel"] + a["q"]["bias"] + _lora_delta(x, lora_layer, "q")
-        k = x @ a["k"]["kernel"] + a["k"]["bias"] + _lora_delta(x, lora_layer, "k")
-        v = x @ a["v"]["kernel"] + a["v"]["bias"] + _lora_delta(x, lora_layer, "v")
+        q = qmatmul(x, a["q"]["kernel"]) + a["q"]["bias"] + _lora_delta(x, lora_layer, "q")
+        k = qmatmul(x, a["k"]["kernel"]) + a["k"]["bias"] + _lora_delta(x, lora_layer, "k")
+        v = qmatmul(x, a["v"]["kernel"]) + a["v"]["bias"] + _lora_delta(x, lora_layer, "v")
         q = q.reshape(N, S, nh, hd)
         k = k.reshape(N, S, nh, hd)
         v = v.reshape(N, S, nh, hd)
         attn = mha(q, k, v, causal=False, impl=attn_impl).reshape(N, S, H)
-    attn_out = attn @ a["out"]["kernel"] + a["out"]["bias"] + _lora_delta(
+    attn_out = qmatmul(attn, a["out"]["kernel"]) + a["out"]["bias"] + _lora_delta(
         attn, lora_layer, "out"
     )
     h = residual + attn_out
@@ -156,11 +168,11 @@ def _encoder_layer(
     residual = h
     x = layer_norm(h, lp["ln2"]["weight"], lp["ln2"]["bias"], cfg.layer_norm_eps)
     x1 = act(
-        x @ lp["mlp"]["fc1"]["kernel"] + lp["mlp"]["fc1"]["bias"]
+        qmatmul(x, lp["mlp"]["fc1"]["kernel"]) + lp["mlp"]["fc1"]["bias"]
         + _lora_delta(x, lora_layer, "fc1")
     )
     x2 = (
-        x1 @ lp["mlp"]["fc2"]["kernel"] + lp["mlp"]["fc2"]["bias"]
+        qmatmul(x1, lp["mlp"]["fc2"]["kernel"]) + lp["mlp"]["fc2"]["bias"]
         + _lora_delta(x1, lora_layer, "fc2")
     )
     return residual + x2

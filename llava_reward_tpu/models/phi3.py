@@ -90,15 +90,17 @@ def decoder_layer(
     attn_impl: str,
     lora_layer: Optional[dict] = None,
 ) -> jnp.ndarray:
-    from ..utils.quantize import dequant_layer
+    from ..utils.quantize import dequant_layer, qmatmul
 
-    lp = dequant_layer(lp, h.dtype)  # no-op unless weight-only quantized
+    # weight-only quantized leaves dequantize here; w8a8 leaves pass
+    # through and run on the int8 MXU path inside qmatmul
+    lp = dequant_layer(lp, h.dtype)
     B, S, H = h.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
     residual = h
     x = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
-    qkv = _maybe_lora(x, x @ lp["qkv_proj"], lora_layer, "qkv_proj")
+    qkv = _maybe_lora(x, qmatmul(x, lp["qkv_proj"]), lora_layer, "qkv_proj")
     attn = fused_rope_attention(
         qkv, cos, sin,
         n_heads=nh, n_kv_heads=nkv, head_dim=hd,
@@ -107,16 +109,16 @@ def decoder_layer(
         sliding_window=cfg.sliding_window,
         impl=attn_impl,
     )  # (B, S, nh*hd); pallas fused path on TPU, split+rope+mha elsewhere
-    attn = _maybe_lora(attn, attn @ lp["o_proj"], lora_layer, "o_proj")
+    attn = _maybe_lora(attn, qmatmul(attn, lp["o_proj"]), lora_layer, "o_proj")
     h = residual + attn
 
     residual = h
     x = rms_norm(h, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-    gate_up = _maybe_lora(x, x @ lp["gate_up_proj"], lora_layer, "gate_up_proj")
+    gate_up = _maybe_lora(x, qmatmul(x, lp["gate_up_proj"]), lora_layer, "gate_up_proj")
     gate, up = jnp.split(gate_up, 2, axis=-1)
     act = ACT2FN[cfg.hidden_act]
     mlp = up * act(gate)
-    mlp = _maybe_lora(mlp, mlp @ lp["down_proj"], lora_layer, "down_proj")
+    mlp = _maybe_lora(mlp, qmatmul(mlp, lp["down_proj"]), lora_layer, "down_proj")
     return residual + mlp
 
 

@@ -296,8 +296,11 @@ def _maybe_lora(x, base_out, lora_layer, name):
 
 def _lin(x, p):
     """x @ kernel (+ bias if present) — llama (vicuna) layers share the qwen
-    structure minus the qkv biases."""
-    out = x @ p["kernel"]
+    structure minus the qkv biases. W8A8-quantized kernels (inference mode)
+    run on the int8 MXU path via qmatmul."""
+    from ..utils.quantize import qmatmul
+
+    out = qmatmul(x, p["kernel"])
     if "bias" in p:
         out = out + p["bias"]
     return out

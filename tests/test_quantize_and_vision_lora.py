@@ -261,3 +261,148 @@ def test_vision_lora_grad_stays_on_differentiable_path(monkeypatch):
     # with trainable LoRA the differentiable mha path must be used -> grad works
     g = jax.grad(loss)(lora)
     assert jnp.isfinite(g["q"]["a"]).all()
+
+
+def test_int8_linear_matches_dequant_matmul(rng):
+    from llava_reward_tpu.utils.quantize import int8_linear, quantize_array_w8a8
+
+    x = rng.standard_normal((4, 7, 96)).astype(np.float32)
+    w = (rng.standard_normal((96, 128)) * 0.05).astype(np.float32)
+    qd = {k: jnp.asarray(v) for k, v in quantize_array_w8a8(w).items()}
+    y = np.asarray(int8_linear(jnp.asarray(x), qd))
+    # reference: dequantized weight matmul with the SAME activation quant
+    wd = np.asarray(qd["qvalues_w8a8"], np.float32) * np.asarray(qd["scale"])
+    amax = np.abs(x.reshape(-1, 96)).max(axis=-1, keepdims=True)
+    xq = np.round(x.reshape(-1, 96) / amax * 127.0)
+    ref = ((xq @ wd) * amax / 127.0).reshape(4, 7, 128)
+    np.testing.assert_allclose(y, ref, rtol=1e-5, atol=1e-5)
+    # and close to the unquantized matmul (W8A8 end-to-end error)
+    full = x @ w
+    assert np.abs(y - full).max() / (np.abs(full).max() + 1e-9) < 0.02
+
+
+def test_w8a8_decoder_forward_close():
+    rng = np.random.default_rng(7)
+    from llava_reward_tpu.utils.quantize import quantize_stacked_layers
+
+    cfg = phi3v_tiny_config(num_layers=2, hidden_size=64).decoder
+    params = jax.device_get(phi3.init_params(jax.random.PRNGKey(0), cfg))
+    qlayers = quantize_stacked_layers(
+        jax.tree_util.tree_map(jnp.asarray, params["layers"]),
+        min_size=0, scheme="w8a8",
+    )
+    assert any(
+        "qvalues_w8a8" in v for v in qlayers.values() if isinstance(v, dict)
+    )
+    B, S = 2, 10
+    ids = rng.integers(0, cfg.vocab_size, (B, S)).astype(np.int32)
+    mask = np.ones((B, S), np.int32)
+    pos = np.arange(S, dtype=np.int32)[None].repeat(B, 0)
+    embeds = params["embed_tokens"][ids]
+
+    out_fp = phi3.forward(
+        {**params, "layers": jax.tree_util.tree_map(jnp.asarray, params["layers"])},
+        cfg, jnp.asarray(embeds), jnp.asarray(mask), jnp.asarray(pos), attn_impl="xla",
+    ).last_hidden_state
+    out_q = phi3.forward(
+        {**params, "layers": qlayers},
+        cfg, jnp.asarray(embeds), jnp.asarray(mask), jnp.asarray(pos), attn_impl="xla",
+    ).last_hidden_state
+    rel = np.abs(np.asarray(out_q) - np.asarray(out_fp)) / (
+        np.abs(np.asarray(out_fp)) + 1e-3
+    )
+    assert np.median(rel) < 0.05, np.median(rel)
+
+
+def test_w8a8_clip_tower_close():
+    rng = np.random.default_rng(11)
+    from llava_reward_tpu.core.config import VisionConfig
+    from llava_reward_tpu.utils.quantize import quantize_stacked_layers
+
+    cfg = VisionConfig(
+        hidden_size=64, intermediate_size=128, num_layers=2, num_heads=4,
+        image_size=56, patch_size=14,
+    )
+    params = clip_vit.init_params(jax.random.PRNGKey(0), cfg)
+    qparams = dict(params)
+    qparams["layers"] = quantize_stacked_layers(
+        params["layers"], min_size=0, scheme="w8a8"
+    )
+    pix = jax.random.normal(jax.random.PRNGKey(1), (2, 56, 56, 3))
+    f_fp = np.asarray(clip_vit.extract_patch_features(params, cfg, pix, attn_impl="xla"))
+    f_q = np.asarray(clip_vit.extract_patch_features(qparams, cfg, pix, attn_impl="xla"))
+    rel = np.abs(f_q - f_fp) / (np.abs(f_fp) + 1e-3)
+    assert rel.mean() < 0.05, rel.mean()
+
+
+def test_w8a8_adaptor_roundtrip(tmp_path, rng):
+    """--load_in_8bit through load_reward_adaptor: quantized load scores
+    close to the f32 load on the same synthesized checkpoint (the decoder
+    AND the CLIP tower carry w8a8 leaves)."""
+    import json
+    import os
+
+    import torch
+
+    from llava_reward_tpu.evalx.adaptor import load_reward_adaptor
+    from llava_reward_tpu.io.artifact import save_reward_artifact
+    from llava_reward_tpu.io.hf_phi3v import hf_state_dict_from_params
+    from llava_reward_tpu.io.torch_io import save_torch_state_dict
+    from llava_reward_tpu.reward import init_head_params
+    from llava_reward_tpu.reward.model import RewardBatch
+    from llava_reward_tpu.utils.quantize import is_w8a8
+
+    cfg = phi3v_tiny_config(num_layers=2, vision_layers=2)
+    params = jax.device_get(phi3v.init_params(jax.random.PRNGKey(0), cfg))
+    base_dir = tmp_path / "base"
+    os.makedirs(base_dir)
+    save_torch_state_dict(
+        hf_state_dict_from_params(params, cfg),
+        str(base_dir / "pytorch_model.bin"), torch.float32,
+    )
+    with open(base_dir / "config.json", "w") as f:
+        json.dump({
+            "vocab_size": cfg.decoder.vocab_size,
+            "hidden_size": cfg.decoder.hidden_size,
+            "intermediate_size": cfg.decoder.intermediate_size,
+            "num_hidden_layers": cfg.decoder.num_layers,
+            "num_attention_heads": cfg.decoder.num_heads,
+            "num_key_value_heads": cfg.decoder.num_kv_heads,
+            "pad_token_id": cfg.decoder.pad_token_id,
+        }, f)
+    rcfg = RewardConfig(is_general_preference=True, value_head_dim=2)
+    head = jax.device_get(init_head_params(jax.random.PRNGKey(1), cfg, rcfg))
+    pm_dir = tmp_path / "pm"
+    save_reward_artifact(str(pm_dir), rcfg, head, torch_dtype=torch.float32)
+
+    def score(adaptor):
+        adaptor = type(adaptor)(
+            cfg=cfg, rcfg=adaptor.rcfg, params=adaptor.params, model_type="phi3v"
+        )
+        adaptor.rcfg.layer_id = cfg.decoder.num_layers
+        B, S = 2, 12
+        batch = RewardBatch(
+            input_ids=jnp.asarray(rng.integers(2, 100, (B, S)).astype(np.int32)),
+            attention_mask=jnp.asarray(np.ones((B, S), np.int32)),
+            pixel_values=None, img_gather_idx=None, splice_idx=None,
+            num_img_tokens=None,
+        )
+        return np.asarray(adaptor.make_score_fn(attn_impl="xla")(adaptor.params, batch))
+
+    a_fp = load_reward_adaptor(str(base_dir), str(pm_dir), compute_dtype=jnp.float32)
+    rng_state = rng.bit_generator.state
+    r_fp = score(a_fp)
+    a_q = load_reward_adaptor(
+        str(base_dir), str(pm_dir), compute_dtype=jnp.float32, quantize="w8a8",
+        quantize_min_size=0,
+    )
+    # decoder layers carry w8a8 leaves; the CLIP tower stays bf16 (int8
+    # loses at K~1024 shapes on the v5e MXU — PERF.md round 3)
+    assert is_w8a8(a_q.params["backbone"]["decoder"]["layers"]["qkv_proj"])
+    assert not is_w8a8(
+        a_q.params["backbone"]["vision"]["clip"]["layers"]["mlp"]["fc1"]["kernel"]
+    )
+    rng.bit_generator.state = rng_state  # same random batch
+    r_q = score(a_q)
+    assert np.all(np.isfinite(r_q))
+    np.testing.assert_allclose(r_q, r_fp, rtol=0.1, atol=0.05)
