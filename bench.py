@@ -1,53 +1,455 @@
-"""Reward-forward throughput benchmark (the reference's only perf
-instrumentation is wall-clock around custom_forward,
-eval/batch_inference_rm_phi.py:92-102 — this is its TPU equivalent).
+"""Multi-metric benchmark (the reference's only perf instrumentation is
+wall-clock around custom_forward, eval/batch_inference_rm_phi.py:92-102 —
+this is its TPU equivalent, one JSON line per metric).
 
-Measures image-text PAIRS/sec/chip for the full-size Phi-3.5-V reward
-forward (4.2B decoder + CLIP ViT-L/14-336 on 17 crops, bf16, GPM dim-2 +
-SkipCA, seq 2560 covering the 4x4-crop 2509-token image budget).
+Metrics (select with BENCH_METRICS=comma,list; default runs all):
+  fwd_bf16   — full-size Phi-3.5-V reward forward, bf16 (4.2B decoder +
+               CLIP ViT-L on 17 crops, GPM dim-2 + SkipCA, seq 2560)
+  fwd_int8   — same forward with the frozen decoder in W8A8 int8
+               (--load_in_8bit): matmuls on the v5e's 394-TOPS int8 path
+  qwen_int8  — FULL 28-layer Qwen2.5-VL-7B reward forward (int8 decoder —
+               7.6B bf16 would not fit a 16 GB chip), window-attn ViT
+  llava_int8 — FULL 40-layer LLaVA-1.6-13B reward forward (int8 decoder),
+               anyres 672x672 geometry
+  train      — full-size Phi-3.5-V LoRA training step (r=128, micro-bs 1
+               pair, remat, fused Pallas attention backward)
+  e2e        — end-to-end eval pipeline (jpeg decode + HD + collate +
+               device) on synthetic 768x1024 pairs
 
-vs_baseline is computed against BASELINE_PAIRS_PER_SEC — an ESTIMATE, not a
-measurement (no GPU exists in this environment and the reference repo
-publishes no numbers, BASELINE.md). Derivation (documented + emitted in the
-JSON as baseline_provenance):
+Each metric runs in its OWN subprocess (fresh HBM; the compile cache in
+JAX_COMPILATION_CACHE_DIR makes warm runs fast).
 
-  per-pair FLOPs  = 2 seqs x [decoder 2*4.2e9 params*2560 tok = 21.5 TF
-                    + CLIP 17 crops * 2*0.303e9*577 = 6.0 TF] = 55 TF
-  A100-80GB bf16 dense peak = 312 TF/s; HF eager + flash-attn-2 inference
-  lands at 30-40% MFU on decoder-dominated workloads
-  -> 312*0.35/55 = 2.0 pairs/s (range 1.7-2.3 at 30-40% MFU).
+vs_baseline rides against documented ESTIMATES, not measurements (no GPU
+exists in this environment and the reference publishes no numbers —
+BASELINE.md). Derivation for phi3v (emitted as baseline_provenance):
+  per-pair FLOPs = 2 seqs x [decoder 2*4.2e9*2560 = 21.5 TF
+                   + CLIP 17 crops * 2*0.303e9*577 = 6.0 TF] = 55 TF
+  A100-80GB bf16 peak 312 TF/s at 30-40% MFU -> 2.0 pairs/s (1.7-2.3).
+Qwen (57.8 TF/pair) -> 1.9; LLaVA-13B (159 TF/pair) -> 0.69. The training
+step has no reference estimate (vs_baseline: null).
 
-The sensitivity range rides in baseline_range. A measured replacement needs
-GPU hardware: run eval/batch_inference_rm_phi.py (its :92-102 timing hook)
-on the published HF checkpoints and substitute the measured pairs/s here.
-
-Env knobs: BENCH_BATCH (pairs, default 4), BENCH_STEPS (default 8),
-BENCH_SEQ (default 2560), BENCH_TINY=1 for a smoke run on CPU,
-BENCH_E2E=1 for the end-to-end pipeline (image decode + HD preprocessing
-overlapped with device compute via the prefetch loader — the
-batch_inference_rm_phi.py-equivalent measurement).
+Env knobs: BENCH_BATCH (pairs), BENCH_STEPS, BENCH_SEQ, BENCH_TINY=1
+(smoke: tiny configs, fwd metrics only), BENCH_METRICS.
 """
 
 import json
 import os
+import subprocess
+import sys
 import time
 
 import numpy as np
 
-BASELINE_PAIRS_PER_SEC = 2.0
+BASELINES = {
+    "fwd_bf16": (2.0, "estimated: 55 TF/pair at 35% MFU of A100-312TF/s "
+                 "(module docstring; no GPU in env to measure)", [1.7, 2.3]),
+    "fwd_int8": (2.0, "same A100 bf16 estimate as fwd_bf16 (the reference "
+                 "has no int8 path; its 4-bit path is memory-only)", [1.7, 2.3]),
+    "qwen_int8": (1.9, "estimated: 57.8 TF/pair at 35% MFU of A100-312TF/s",
+                  [1.6, 2.2]),
+    "llava_int8": (0.69, "estimated: 159 TF/pair at 35% MFU of A100-312TF/s",
+                   [0.6, 0.8]),
+    "train": (None, "no reference training-throughput estimate exists", None),
+    "e2e": (2.0, "same A100 estimate as fwd_bf16 (the reference harness "
+            "measures the same end-to-end loop)", [1.7, 2.3]),
+}
+
+DEFAULT_METRICS = "fwd_bf16,fwd_int8,qwen_int8,llava_int8,train,e2e"
 
 
-def e2e_main():
-    """Synthetic-image end-to-end eval throughput: host pipeline (native C++
-    decode+HD when built) overlapped with the jitted forward."""
+def emit(metric, value, unit="pairs/s/chip", extra=None):
+    base, prov, rng_ = BASELINES.get(metric, (None, "n/a", None))
+    line = {
+        "metric": metric if "/" in metric else f"{metric}_pairs_per_sec_per_chip",
+        "value": round(value, 4),
+        "unit": unit,
+        "vs_baseline": round(value / base, 4) if base else None,
+        "baseline": base,
+        "baseline_provenance": prov,
+    }
+    if rng_:
+        line["baseline_range_pairs_per_sec"] = rng_
+    if extra:
+        line.update(extra)
+    print(json.dumps(line), flush=True)
+
+
+def _setup_jax():
     import jax
+
+    try:
+        jax.config.update("jax_compilation_cache_dir", "/root/jaxcache")
+    except Exception:
+        pass
+    return jax
+
+
+def _w8a8_random_layers(shapes, seed=0, scale=0.02 / 127.0):
+    """Random int8 layer stacks built DIRECTLY on device: benchmarking the
+    int8 path must not materialise the bf16 tree first (a 7.6B-param bf16
+    decoder would not fit HBM next to the int8 copy)."""
+    import jax
+    import jax.numpy as jnp
+
+    out = {}
+    key = jax.random.PRNGKey(seed)
+    for name, shape in shapes.items():
+        key, k = jax.random.split(key)
+        out[name] = {
+            "qvalues_w8a8": jax.random.randint(k, shape, -127, 128, jnp.int8),
+            "scale": jnp.full((shape[0], 1, shape[-1]), scale, jnp.float32),
+        }
+    return out
+
+
+def _to_w8a8_device(tree, min_size=1 << 20):
+    """Quantize a bf16 tree to w8a8 on device (for models that DO fit)."""
+    import jax
+    import jax.numpy as jnp
+
+    @jax.jit
+    def q(w):
+        wf = w.astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(wf), axis=-2, keepdims=True)
+        scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
+        return jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8), scale
+
+    def walk(v):
+        if isinstance(v, dict):
+            return {k: walk(x) for k, x in v.items()}
+        if (
+            hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)
+            and v.ndim >= 3 and v.size >= min_size
+        ):
+            qv, s = q(v)
+            return {"qvalues_w8a8": qv, "scale": s}
+        return v
+
+    return {k: walk(v) for k, v in tree.items()}
+
+
+def _timed_steps(fn, params, batches, warm_batch):
+    # params ride as a jit ARGUMENT — closing over them would capture the
+    # whole weight tree as compile-time constants (GBs through the
+    # remote-compile tunnel; observed to break the transport at 8 GB).
+    np.asarray(fn(params, warm_batch))  # compile + settle (host fetch = barrier)
+    times = []
+    for b in batches:
+        t0 = time.perf_counter()
+        np.asarray(fn(params, b))
+        times.append(time.perf_counter() - t0)
+    return float(np.median(times))
+
+
+# ------------------------------------------------------------------ phi3v
+
+def metric_fwd(quant: bool):
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from llava_reward_tpu.core.config import (
+        RewardConfig, phi35_vision_config, phi3v_tiny_config,
+    )
+    from llava_reward_tpu.models import phi3v
+    from llava_reward_tpu.preprocess.phi3v_processor import build_img_gather_idx
+    from llava_reward_tpu.reward import init_head_params
+    from llava_reward_tpu.reward.model import RewardBatch, reward_forward
+
+    tiny = os.environ.get("BENCH_TINY") == "1"
+    pairs = int(os.environ.get("BENCH_BATCH", "2" if tiny else "4"))
+    steps = int(os.environ.get("BENCH_STEPS", "2" if tiny else "8"))
+    seq = int(os.environ.get("BENCH_SEQ", "384" if tiny else "2560"))
+
+    cfg = phi3v_tiny_config(num_crops=4) if tiny else phi35_vision_config()
+    rcfg = RewardConfig(is_general_preference=True, value_head_dim=2,
+                        add_cross_attention=True, layer_id=cfg.decoder.num_layers)
+    params = {
+        "backbone": phi3v.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16),
+        "head": init_head_params(jax.random.PRNGKey(1), cfg, rcfg, dtype=jnp.bfloat16),
+    }
+    if quant:
+        # decoder only: int8 loses at CLIP K~1024 shapes (PERF.md round 3)
+        params["backbone"]["decoder"]["layers"] = _to_w8a8_device(
+            params["backbone"]["decoder"]["layers"], min_size=0 if tiny else 1 << 20
+        )
+
+    rng = np.random.default_rng(0)
+    B = pairs * 2
+    nc = cfg.num_crops
+    hc = wc = min(4, int(np.sqrt(nc)))
+    n_img = (hc * wc + 1) * 144 + 1 + (hc + 1) * 12
+    if n_img > seq - 16:
+        hc = wc = 1
+        n_img = 2 * 144 + 1 + 2 * 12
+    gidx = build_img_gather_idx(hc, wc, nc, budget=n_img)
+    splice = np.full((B, seq), -1, np.int32)
+    splice[:, 1 : 1 + n_img] = np.arange(n_img)
+    crop = cfg.vision.image_size
+
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        return RewardBatch(
+            input_ids=jnp.asarray(
+                r.integers(2, cfg.decoder.vocab_size - 2, (B, seq)).astype(np.int32)),
+            attention_mask=jnp.asarray(np.ones((B, seq), np.int32)),
+            pixel_values=jnp.asarray(
+                (r.standard_normal((B, nc + 1, crop, crop, 3)) * 0.5).astype(np.float32)),
+            img_gather_idx=jnp.asarray(np.tile(gidx[None], (B, 1))),
+            splice_idx=jnp.asarray(splice),
+            num_img_tokens=jnp.full((B,), n_img, np.int32),
+        )
+
+    fwd = jax.jit(lambda p, b: reward_forward(p, cfg, rcfg, b, training=False).reward)
+    med = _timed_steps(fwd, params, [mk(10 + i) for i in range(steps)], mk(0))
+    emit("fwd_int8" if quant else "fwd_bf16", pairs / med)
+
+
+# ------------------------------------------------------------------ qwen
+
+def metric_qwen_int8():
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from llava_reward_tpu.core.config import RewardConfig, qwen25_vl_7b_config
+    from llava_reward_tpu.models import qwen25_vl
+    from llava_reward_tpu.preprocess.qwen_vision import (
+        _merged_block_pos, windowize,
+    )
+    from llava_reward_tpu.reward import init_head_params
+    from llava_reward_tpu.reward.model import RewardBatch, reward_forward
+
+    pairs = int(os.environ.get("BENCH_BATCH", "4"))
+    steps = int(os.environ.get("BENCH_STEPS", "6"))
+    seq = int(os.environ.get("BENCH_SEQ", "1792"))
+
+    cfg = qwen25_vl_7b_config()
+    tc, vc = cfg.text, cfg.vision
+    rcfg = RewardConfig(is_general_preference=True, value_head_dim=2,
+                        layer_id=tc.num_layers)
+
+    # int8 decoder built directly (7.6B bf16 = 15.2 GB would not fit HBM
+    # next to anything else; int8 = 7.6 GB). Non-matmul leaves bf16.
+    L, H, I = tc.num_layers, tc.hidden_size, tc.intermediate_size
+    layers = _w8a8_random_layers({
+        "q_proj": (L, H, tc.q_size), "k_proj": (L, H, tc.kv_size),
+        "v_proj": (L, H, tc.kv_size), "o_proj": (L, tc.q_size, H),
+        "gate_proj": (L, H, I), "up_proj": (L, H, I), "down_proj": (L, I, H),
+    })
+    for name in ("q_proj", "k_proj", "v_proj"):
+        layers[name] = {"kernel": layers[name],
+                        "bias": jnp.zeros((L, layers[name]["qvalues_w8a8"].shape[-1]), jnp.bfloat16)}
+    for name in ("o_proj", "gate_proj", "up_proj", "down_proj"):
+        layers[name] = {"kernel": layers[name]}
+    layers["input_layernorm"] = jnp.ones((L, H), jnp.bfloat16)
+    layers["post_attention_layernorm"] = jnp.ones((L, H), jnp.bfloat16)
+    text = {
+        "embed_tokens": jax.random.normal(
+            jax.random.PRNGKey(1), (tc.vocab_size, H), jnp.bfloat16) * 0.02,
+        "layers": layers,
+        "final_layernorm": jnp.ones((H,), jnp.bfloat16),
+    }
+    visual = qwen25_vl.init_vision_params(jax.random.PRNGKey(2), vc, jnp.bfloat16)
+    params = {
+        "backbone": {"text": text, "visual": visual},
+        "head": init_head_params(jax.random.PRNGKey(3), cfg, rcfg, dtype=jnp.bfloat16),
+    }
+
+    # one 1280-patch image per seq (HF default max_pixels budget):
+    # grid (1, 32, 40) -> 320 merged units, windowizes with zero pad
+    grid = (1, 32, 40)
+    patch_src, patch_valid, unit_gather, _ = windowize(grid)
+    P = len(patch_src)
+    n_units = 320
+    rng = np.random.default_rng(0)
+    B = pairs * 2
+    rot = _merged_block_pos(grid[1], grid[2], 2)[patch_src]
+    splice = np.full((B, seq), -1, np.int32)
+    splice[:, 1 : 1 + n_units] = np.arange(n_units)
+    pos = np.tile(np.arange(seq, dtype=np.int32)[None, None], (3, B, 1))
+
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        return RewardBatch(
+            input_ids=jnp.asarray(
+                r.integers(2, 1000, (B, seq)).astype(np.int32)),
+            attention_mask=jnp.asarray(np.ones((B, seq), np.int32)),
+            pixel_values=jnp.asarray(
+                (r.standard_normal((B, P, vc.patch_dim)) * 0.5).astype(np.float32)
+            ).astype(jnp.bfloat16),
+            img_gather_idx=None,
+            splice_idx=jnp.asarray(splice),
+            num_img_tokens=jnp.full((B,), n_units, np.int32),
+            position_ids=jnp.asarray(pos),
+            patch_valid=jnp.asarray(np.tile(patch_valid[None], (B, 1)).astype(np.int32)),
+            rot_pos=jnp.asarray(np.tile(rot[None], (B, 1, 1))),
+            unit_gather=jnp.asarray(np.tile(unit_gather[None], (B, 1))),
+        )
+
+    fwd = jax.jit(lambda p, b: reward_forward(p, cfg, rcfg, b, training=False).reward)
+    med = _timed_steps(fwd, params, [mk(10 + i) for i in range(steps)], mk(0))
+    emit("qwen_int8", pairs / med, extra={
+        "config": "Qwen2.5-VL-7B FULL 28 layers, int8 decoder, "
+                  f"B={B} seqs, seq={seq}, 1280-patch image/seq"})
+
+
+# ------------------------------------------------------------------ llava
+
+def metric_llava_int8():
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from llava_reward_tpu.core.config import LlavaNextConfig, RewardConfig
+    from llava_reward_tpu.models import clip_vit
+    from llava_reward_tpu.preprocess.llava_processor import build_anyres_gather_idx
+    from llava_reward_tpu.reward import init_head_params
+    from llava_reward_tpu.reward.model import RewardBatch, reward_forward
+
+    pairs = int(os.environ.get("BENCH_BATCH", "1"))
+    steps = int(os.environ.get("BENCH_STEPS", "5"))
+    seq = int(os.environ.get("BENCH_SEQ", "2976"))
+
+    cfg = LlavaNextConfig()  # TRUE llava-v1.6-vicuna-13b geometry
+    tc = cfg.text
+    rcfg = RewardConfig(is_general_preference=True, value_head_dim=2,
+                        layer_id=tc.num_layers)
+
+    L, H, I = tc.num_layers, tc.hidden_size, tc.intermediate_size
+    layers = _w8a8_random_layers({
+        "q_proj": (L, H, tc.q_size), "k_proj": (L, H, tc.kv_size),
+        "v_proj": (L, H, tc.kv_size), "o_proj": (L, tc.q_size, H),
+        "gate_proj": (L, H, I), "up_proj": (L, H, I), "down_proj": (L, I, H),
+    })
+    layers = {k: {"kernel": v} for k, v in layers.items()}
+    layers["input_layernorm"] = jnp.ones((L, H), jnp.bfloat16)
+    layers["post_attention_layernorm"] = jnp.ones((L, H), jnp.bfloat16)
+    text = {
+        "embed_tokens": jax.random.normal(
+            jax.random.PRNGKey(1), (tc.vocab_size, H), jnp.bfloat16) * 0.02,
+        "layers": layers,
+        "final_layernorm": jnp.ones((H,), jnp.bfloat16),
+    }
+    VH = cfg.vision.hidden_size
+    vision = {
+        "clip": clip_vit.init_params(jax.random.PRNGKey(2), cfg.vision, jnp.bfloat16),
+        "projector": {
+            "fc1": {"kernel": jax.random.normal(jax.random.PRNGKey(3), (VH, H), jnp.bfloat16) * 0.02,
+                    "bias": jnp.zeros((H,), jnp.bfloat16)},
+            "fc2": {"kernel": jax.random.normal(jax.random.PRNGKey(4), (H, H), jnp.bfloat16) * 0.02,
+                    "bias": jnp.zeros((H,), jnp.bfloat16)},
+        },
+        "image_newline": jnp.zeros((H,), jnp.bfloat16),
+    }
+    params = {
+        "backbone": {"text": text, "vision": vision},
+        "head": init_head_params(jax.random.PRNGKey(5), cfg, rcfg, dtype=jnp.bfloat16),
+    }
+
+    # 672x672 anyres (the square max): 2x2 tiles + base, 2928 image tokens
+    gidx, n_img = build_anyres_gather_idx(672, 672, budget=2928)
+    rng = np.random.default_rng(0)
+    B = pairs * 2
+    splice = np.full((B, seq), -1, np.int32)
+    splice[:, 1 : 1 + n_img] = np.arange(n_img)
+
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        return RewardBatch(
+            input_ids=jnp.asarray(r.integers(2, 1000, (B, seq)).astype(np.int32)),
+            attention_mask=jnp.asarray(np.ones((B, seq), np.int32)),
+            pixel_values=jnp.asarray(
+                (r.standard_normal((B, 5, 336, 336, 3)) * 0.5).astype(np.float32)),
+            img_gather_idx=jnp.asarray(np.tile(gidx[None], (B, 1))),
+            splice_idx=jnp.asarray(splice),
+            num_img_tokens=jnp.full((B,), n_img, np.int32),
+        )
+
+    fwd = jax.jit(lambda p, b: reward_forward(p, cfg, rcfg, b, training=False).reward)
+    med = _timed_steps(fwd, params, [mk(10 + i) for i in range(steps)], mk(0))
+    emit("llava_int8", pairs / med, extra={
+        "config": "LLaVA-1.6-vicuna-13B FULL 40 layers, int8 decoder, "
+                  f"B={B} seqs, seq={seq}, 672x672 anyres (2928 img tokens)"})
+
+
+# ------------------------------------------------------------------ train
+
+def metric_train():
+    jax = _setup_jax()
+    import jax.numpy as jnp
+
+    from llava_reward_tpu.core.config import RewardConfig, phi35_vision_config
+    from llava_reward_tpu.lora.lora import init_lora
+    from llava_reward_tpu.models import phi3v
+    from llava_reward_tpu.preprocess.phi3v_processor import build_img_gather_idx
+    from llava_reward_tpu.reward import RewardBatch, init_head_params
+    from llava_reward_tpu.train.optim import make_optimizer
+    from llava_reward_tpu.train.train_step import (
+        init_train_state, make_pairwise_loss_fn, make_train_step,
+    )
+
+    pairs = int(os.environ.get("BENCH_BATCH", "1"))
+    steps = int(os.environ.get("BENCH_STEPS", "4"))
+    seq = int(os.environ.get("BENCH_SEQ", "2560"))
+
+    cfg = phi35_vision_config()
+    rcfg = RewardConfig(is_general_preference=True, value_head_dim=2,
+                        add_cross_attention=True, layer_id=cfg.decoder.num_layers)
+    frozen = {"backbone": phi3v.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)}
+    trainable = {
+        "head": init_head_params(jax.random.PRNGKey(1), cfg, rcfg, dtype=jnp.float32),
+        "lora": init_lora(jax.random.PRNGKey(2), cfg.decoder, 128, 256),
+        "projector": None,
+    }
+    B = pairs
+    rng = np.random.default_rng(0)
+    nc = cfg.num_crops
+    hc = wc = 4
+    n_img = (hc * wc + 1) * 144 + 1 + (hc + 1) * 12
+    gidx = build_img_gather_idx(hc, wc, nc, budget=n_img)
+    crop = cfg.vision.image_size
+
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        splice = np.full((B, seq), -1, np.int32)
+        splice[:, 1 : 1 + n_img] = np.arange(n_img)
+        return RewardBatch(
+            input_ids=jnp.asarray(
+                r.integers(2, cfg.decoder.vocab_size - 2, (B, seq)).astype(np.int32)),
+            attention_mask=jnp.asarray(np.ones((B, seq), np.int32)),
+            pixel_values=jnp.asarray(
+                (r.standard_normal((B, nc + 1, crop, crop, 3)) * 0.5).astype(np.float32)
+            ).astype(jnp.bfloat16),
+            img_gather_idx=jnp.asarray(np.tile(gidx[None], (B, 1))),
+            splice_idx=jnp.asarray(splice),
+            num_img_tokens=jnp.full((B,), n_img, np.int32),
+        )
+
+    tx = make_optimizer(2e-4, 100, warmup_ratio=0.03)
+    loss_fn = make_pairwise_loss_fn(cfg, rcfg, attn_impl="auto", remat=True)
+    step = jax.jit(make_train_step(loss_fn, tx))
+    st = init_train_state(trainable, tx)
+    st, m = step(st, frozen, mk(1), mk(2))
+    float(np.asarray(m["preference_loss"]))  # barrier
+    times = []
+    for i in range(steps):
+        b1, b2 = mk(10 + i), mk(20 + i)
+        t0 = time.perf_counter()
+        st, m = step(st, frozen, b1, b2)
+        float(np.asarray(m["preference_loss"]))
+        times.append(time.perf_counter() - t0)
+    med = float(np.median(times))
+    emit("train", pairs / med, extra={
+        "config": f"phi3.5-v LoRA r=128 train step, micro-bs {pairs} pair, remat"})
+
+
+# ------------------------------------------------------------------ e2e
+
+def metric_e2e():
+    jax = _setup_jax()
     import jax.numpy as jnp
     from PIL import Image
 
     from llava_reward_tpu.core.config import (
-        RewardConfig,
-        phi35_vision_config,
-        phi3v_tiny_config,
+        RewardConfig, phi35_vision_config, phi3v_tiny_config,
     )
     from llava_reward_tpu.evalx.adaptor import RewardAdaptor
     from llava_reward_tpu.evalx.batch_inference import batch_rm_inference
@@ -82,13 +484,10 @@ def e2e_main():
             return "".join(m["content"] for m in msgs) + " " + "x" * 22
 
     tok = Tok()
-    # the production path: u8 crops + device-side normalise/global-bicubic
     proc = Phi3VProcessor(
         tok, num_crops=cfg.num_crops,
         device_preproc=os.environ.get("LRT_DEVICE_PREPROC", "1") != "0",
     )
-
-    # synthetic jpegs on disk (realistic decode work)
     import tempfile
 
     rng = np.random.default_rng(0)
@@ -96,153 +495,61 @@ def e2e_main():
     rows = []
     for i in range(n_pairs):
         for side in ("c", "r"):
-            # one image shape -> one crop bucket -> one compiled program
             arr = (rng.random((768, 1024, 3)) * 255).astype(np.uint8)
             Image.fromarray(arr).save(f"{tmp}/{i}{side}.jpg", quality=90)
-        rows.append(
-            {
-                "prompt": f"a richly detailed scene number {i}",
-                "chosen_path": f"{i}c.jpg",
-                "reject_path": f"{i}r.jpg",
-                "c_rate": 1.0,
-                "r_rate": 0.0,
-            }
-        )
-    # warm the compile with the first batch, then measure the full pass
+        rows.append({
+            "prompt": f"a richly detailed scene number {i}",
+            "chosen_path": f"{i}c.jpg", "reject_path": f"{i}r.jpg",
+            "c_rate": 1.0, "r_rate": 0.0,
+        })
     t0 = time.perf_counter()
-    metrics = batch_rm_inference(
+    batch_rm_inference(
         adaptor, rows, tok, proc, batch_size=pairs, seq_len=seq,
         image_root=tmp, num_workers=int(os.environ.get("BENCH_WORKERS", "8")),
         progress=False,
     )
     dt = time.perf_counter() - t0
-    value = len(rows) / dt
-    print(
-        json.dumps(
-            {
-                "metric": "phi35v_e2e_eval_pairs_per_sec_per_chip",
-                "value": round(value, 4),
-                "unit": "pairs/s/chip",
-                "vs_baseline": round(value / BASELINE_PAIRS_PER_SEC, 4),
-            }
-        )
-    )
+    emit("e2e", len(rows) / dt)
+
+
+METRICS = {
+    "fwd_bf16": lambda: metric_fwd(False),
+    "fwd_int8": lambda: metric_fwd(True),
+    "qwen_int8": metric_qwen_int8,
+    "llava_int8": metric_llava_int8,
+    "train": metric_train,
+    "e2e": metric_e2e,
+}
 
 
 def main():
-    import jax
-
-    try:  # persistent compile cache works through the axon tunnel (CLAUDE.md)
-        jax.config.update("jax_compilation_cache_dir", "/root/jaxcache")
-    except Exception:
-        pass
-    import jax.numpy as jnp
-
-    from llava_reward_tpu.core.config import (
-        RewardConfig,
-        phi35_vision_config,
-        phi3v_tiny_config,
-        replace,
-    )
-    from llava_reward_tpu.models import phi3v
-    from llava_reward_tpu.preprocess.phi3v_processor import build_img_gather_idx
-    from llava_reward_tpu.reward import init_head_params
-    from llava_reward_tpu.reward.model import RewardBatch, reward_forward
-
+    if len(sys.argv) > 2 and sys.argv[1] == "--metric":
+        METRICS[sys.argv[2]]()
+        return
     tiny = os.environ.get("BENCH_TINY") == "1"
-    pairs = int(os.environ.get("BENCH_BATCH", "2" if tiny else "4"))
-    steps = int(os.environ.get("BENCH_STEPS", "2" if tiny else "8"))
-    seq = int(os.environ.get("BENCH_SEQ", "384" if tiny else "2560"))
-
-    if tiny:
-        cfg = phi3v_tiny_config(num_crops=4)
-    else:
-        cfg = phi35_vision_config()
-    rcfg = RewardConfig(
-        is_general_preference=True,
-        value_head_dim=2,
-        add_cross_attention=True,
-        layer_id=cfg.decoder.num_layers,
-    )
-
-    key = jax.random.PRNGKey(0)
-    params = {
-        "backbone": phi3v.init_params(key, cfg, dtype=jnp.bfloat16),
-        "head": init_head_params(jax.random.PRNGKey(1), cfg, rcfg, dtype=jnp.bfloat16),
-    }
-
-    # 4x4-crop image geometry (the dominant real case): 2509 image tokens
-    rng = np.random.default_rng(0)
-    B = pairs * 2  # chosen + rejected per pair
-    nc = cfg.num_crops
-    hc = wc = min(4, int(np.sqrt(nc)))
-    n_img = (hc * wc + 1) * 144 + 1 + (hc + 1) * 12
-    if n_img > seq - 16:  # fall back to a 1x1 geometry on small seq budgets
-        hc = wc = 1
-        n_img = 2 * 144 + 1 + 2 * 12
-    assert n_img <= seq - 16, (n_img, seq)
-    gidx = build_img_gather_idx(hc, wc, nc, budget=n_img)
-
-    ids = rng.integers(2, cfg.decoder.vocab_size - 2, (B, seq)).astype(np.int32)
-    splice = np.full((B, seq), -1, np.int32)
-    splice[:, 1 : 1 + n_img] = np.arange(n_img)
-    crop = cfg.vision.image_size
-    batch = RewardBatch(
-        input_ids=jnp.asarray(ids),
-        attention_mask=jnp.asarray(np.ones((B, seq), np.int32)),
-        pixel_values=jnp.asarray(
-            (rng.standard_normal((B, nc + 1, crop, crop, 3)) * 0.5).astype(np.float32)
-        ),
-        img_gather_idx=jnp.asarray(np.tile(gidx[None], (B, 1))),
-        splice_idx=jnp.asarray(splice),
-        num_img_tokens=jnp.full((B,), n_img, np.int32),
-    )
-
-    @jax.jit
-    def fwd(p, b):
-        return reward_forward(p, cfg, rcfg, b, training=False).reward
-
-    # Distinct inputs per timed step: the axon backend memoises identical
-    # (executable, args) dispatches, so repeating one batch measures nothing.
-    import jax as _jax
-
-    batches = []
-    for s in range(steps):
-        new_ids = jnp.asarray(
-            rng.integers(2, cfg.decoder.vocab_size - 2, (B, seq)).astype(np.int32)
+    default = "fwd_bf16,fwd_int8" if tiny else DEFAULT_METRICS
+    # legacy env from earlier rounds: BENCH_E2E=1 ran only the e2e loop
+    if os.environ.get("BENCH_E2E") == "1":
+        default = "e2e"
+    names = [n.strip() for n in os.environ.get("BENCH_METRICS", default).split(",") if n.strip()]
+    env = dict(os.environ)
+    env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache")
+    for name in names:
+        if name not in METRICS:
+            print(f"unknown metric {name}", file=sys.stderr)
+            continue
+        # subprocess per metric: fresh HBM, shared compile cache
+        r = subprocess.run(
+            [sys.executable, os.path.abspath(__file__), "--metric", name],
+            env=env, cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+            capture_output=True, text=True, timeout=3000,
         )
-        batches.append(batch._replace(input_ids=new_ids))
-
-    # NB: block_until_ready is lazy on the tunnelled axon backend — fetching
-    # the (tiny) result to host is the only reliable completion barrier.
-    np.asarray(fwd(params, batch))  # compile + execute
-    times = []
-    for s in range(steps):
-        t0 = time.perf_counter()
-        np.asarray(fwd(params, batches[s]))
-        times.append(time.perf_counter() - t0)
-
-    pairs_per_sec = pairs / float(np.median(times))
-    n_chips = 1  # bench runs single-chip
-    value = pairs_per_sec / n_chips
-    print(
-        json.dumps(
-            {
-                "metric": "phi35v_reward_forward_pairs_per_sec_per_chip",
-                "value": round(value, 4),
-                "unit": "pairs/s/chip",
-                "vs_baseline": round(value / BASELINE_PAIRS_PER_SEC, 4),
-                "baseline": BASELINE_PAIRS_PER_SEC,
-                "baseline_provenance": "estimated: 55 TF/pair at 35% MFU of "
-                "A100-312TF/s (see module docstring; no GPU in env to measure)",
-                "baseline_range_pairs_per_sec": [1.7, 2.3],
-            }
-        )
-    )
+        for line in r.stdout.splitlines():
+            if line.startswith("{"):
+                print(line, flush=True)
+        if r.returncode != 0:
+            print(f"metric {name} failed:\n{r.stderr[-1500:]}", file=sys.stderr)
 
 
 if __name__ == "__main__":
-    if os.environ.get("BENCH_E2E") == "1":
-        e2e_main()
-    else:
-        main()
+    main()

@@ -24,14 +24,22 @@ sys.path.insert(0, REPO)
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--dir", default="scratch/fullsize")
-    ap.add_argument("--platform", default="cpu", choices=["cpu", "device"])
+    ap.add_argument("--platform", default="cpu",
+                    choices=["cpu", "device", "int8"])
     args = ap.parse_args()
 
     import jax
 
+    quantize = None
     if args.platform == "cpu":
         jax.config.update("jax_platforms", "cpu")
         dtype_tag, compute_dtype = "f32", None
+    elif args.platform == "int8":
+        # the --load_in_8bit production configuration: w8a8 decoder on the
+        # int8 MXU path, bf16 everything else
+        import jax.numpy as jnp
+
+        dtype_tag, compute_dtype, quantize = "int8", jnp.bfloat16, "w8a8"
     else:
         import jax.numpy as jnp
 
@@ -48,7 +56,7 @@ def main():
     t0 = time.time()
     adaptor = load_reward_adaptor(
         base, art, model_type="phi3v", ft_projector=True,
-        compute_dtype=compute_dtype,
+        compute_dtype=compute_dtype, quantize=quantize,
     )
     adaptor.rcfg.layer_id = adaptor.cfg.decoder.num_layers
     print(f"loaded in {time.time()-t0:.0f}s; tau={adaptor.rcfg.general_preference_tau} "

@@ -21,6 +21,8 @@ def main():
     ours = load(os.path.join(args.dir, "ours_f32.json"))
     bf16_path = os.path.join(args.dir, "ours_bf16.json")
     bf16 = load(bf16_path) if os.path.exists(bf16_path) else None
+    int8_path = os.path.join(args.dir, "ours_int8.json")
+    int8 = load(int8_path) if os.path.exists(int8_path) else None
 
     def devs(a, b):
         dr, dp, agree = 0.0, 0.0, True
@@ -73,6 +75,13 @@ def main():
             f"- bf16-on-device vs fp32 oracle: max |reward| dev {dr2:.2e}, "
             f"max |prob| dev {dp2:.2e}, decisions "
             f"{'all match' if agree2 else 'MISMATCH'}",
+        ]
+    if int8:
+        dr3, dp3, agree3 = devs(oracle, int8)
+        lines += [
+            f"- int8 (--load_in_8bit w8a8 decoder) vs fp32 oracle: max |reward| "
+            f"dev {dr3:.2e}, max |prob| dev {dp3:.2e}, decisions "
+            f"{'all match' if agree3 else 'MISMATCH'}",
         ]
     lines += [
         "",
