@@ -84,6 +84,16 @@ def _setup_jax():
     return jax
 
 
+def _random_i8(key, shape):
+    """Random int8 WITHOUT randint's uint32 intermediate (4x the final size
+    — the 8.5 GB llava MLP stack would transiently need 34 GB)."""
+    import jax
+    import jax.numpy as jnp
+
+    bits = jax.random.bits(key, shape, jnp.uint8)
+    return jnp.clip(jax.lax.bitcast_convert_type(bits, jnp.int8), -127, 127)
+
+
 def _w8a8_random_layers(shapes, seed=0, scale=0.02 / 127.0):
     """Random int8 layer stacks built DIRECTLY on device: benchmarking the
     int8 path must not materialise the bf16 tree first (a 7.6B-param bf16
@@ -96,7 +106,7 @@ def _w8a8_random_layers(shapes, seed=0, scale=0.02 / 127.0):
     for name, shape in shapes.items():
         key, k = jax.random.split(key)
         out[name] = {
-            "qvalues_w8a8": jax.random.randint(k, shape, -127, 128, jnp.int8),
+            "qvalues_w8a8": jax.jit(_random_i8, static_argnums=1)(k, shape),
             "scale": jnp.full((shape[0], 1, shape[-1]), scale, jnp.float32),
         }
     return out
@@ -314,11 +324,25 @@ def metric_llava_int8():
                         layer_id=tc.num_layers)
 
     L, H, I = tc.num_layers, tc.hidden_size, tc.intermediate_size
+    # 13B int8 = 12.7 GB — a pure-W8A8 decoder OOMs a 16 GB chip next to
+    # activations. Mixed scheme instead: the MLP matmuls (2/3 of weights and
+    # FLOPs) stay W8A8 on the 394-TOPS path; the attention projections go
+    # int4 weight-only (dequantized per layer before a bf16 matmul) ->
+    # ~10.8 GB total, full 40 layers resident.
     layers = _w8a8_random_layers({
-        "q_proj": (L, H, tc.q_size), "k_proj": (L, H, tc.kv_size),
-        "v_proj": (L, H, tc.kv_size), "o_proj": (L, tc.q_size, H),
         "gate_proj": (L, H, I), "up_proj": (L, H, I), "down_proj": (L, I, H),
     })
+    key = jax.random.PRNGKey(9)
+    for name, shape in {
+        "q_proj": (L, H, tc.q_size), "k_proj": (L, H, tc.kv_size),
+        "v_proj": (L, H, tc.kv_size), "o_proj": (L, tc.q_size, H),
+    }.items():
+        key, k = jax.random.split(key)
+        layers[name] = {
+            "qvalues_i4": jax.jit(_random_i8, static_argnums=1)(
+                k, (shape[0], shape[1] // 2, shape[2])),
+            "scale": jnp.full((shape[0], 1, shape[2]), 0.02 / 7.0, jnp.float32),
+        }
     layers = {k: {"kernel": v} for k, v in layers.items()}
     layers["input_layernorm"] = jnp.ones((L, H), jnp.bfloat16)
     layers["post_attention_layernorm"] = jnp.ones((L, H), jnp.bfloat16)
@@ -366,8 +390,9 @@ def metric_llava_int8():
     fwd = jax.jit(lambda p, b: reward_forward(p, cfg, rcfg, b, training=False).reward)
     med = _timed_steps(fwd, params, [mk(10 + i) for i in range(steps)], mk(0))
     emit("llava_int8", pairs / med, extra={
-        "config": "LLaVA-1.6-vicuna-13B FULL 40 layers, int8 decoder, "
-                  f"B={B} seqs, seq={seq}, 672x672 anyres (2928 img tokens)"})
+        "config": "LLaVA-1.6-vicuna-13B FULL 40 layers, int8 MLP + int4 "
+                  f"attention decoder (13B in ~10.8 GB), B={B} seqs, "
+                  f"seq={seq}, 672x672 anyres (2928 img tokens)"})
 
 
 # ------------------------------------------------------------------ train

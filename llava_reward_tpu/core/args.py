@@ -109,6 +109,11 @@ def build_train_parser() -> argparse.ArgumentParser:
         "--quant_scheme", default="nf4", choices=["nf4", "absmax"],
         help="4-bit grid: nf4 (bnb-compatible) or absmax symmetric int4",
     )
+    p.add_argument(
+        "--load_in_8bit", action="store_true", default=False,
+        help="W8A8 int8 frozen decoder for QLoRA-style training: weights stay "
+        "int8 in the matmul (v5e double-rate MXU), halving frozen HBM vs bf16",
+    )
     # TPU-native
     p.add_argument("--mesh_dp", type=int, default=1)
     p.add_argument("--mesh_fsdp", type=int, default=-1)

@@ -28,6 +28,71 @@ from ..reward.preference import preference_prob
 from .metrics import pairwise_metrics, pointwise_metrics
 
 
+def _merge_resize_tabs(a: dict, b: dict) -> dict:
+    """Stack chosen/rejected device-resize tap tables along the batch axis,
+    reconciling bucket-dependent shapes: tap-count (last axis of hw/vw) pads
+    with zero-weight taps; crop-bucket (nc axis) pads with white rows and
+    identity slot_perm — both inert by construction."""
+    import jax.numpy as jnp
+
+    nc = max(a["vidx"].shape[1], b["vidx"].shape[1])
+    k_h = max(a["hw"].shape[-1], b["hw"].shape[-1])
+    k_v = max(a["vw"].shape[-1], b["vw"].shape[-1])
+
+    def fix(t):
+        t = dict(t)
+        t["hw"] = jnp.pad(t["hw"], [(0, 0), (0, 0), (0, k_h - t["hw"].shape[-1])])
+        dn = nc - t["vidx"].shape[1]
+        t["vw"] = jnp.pad(
+            t["vw"],
+            [(0, 0), (0, dn), (0, 0), (0, k_v - t["vw"].shape[-1])],
+        )
+        t["vidx"] = jnp.pad(t["vidx"], [(0, 0), (0, dn), (0, 0)])
+        t["vbias"] = jnp.pad(t["vbias"], [(0, 0), (0, dn), (0, 0)])
+        t["col_start"] = jnp.pad(t["col_start"], [(0, 0), (0, dn)])
+        if dn:
+            B = t["slot_perm"].shape[0]
+            extra = jnp.broadcast_to(
+                jnp.arange(nc - dn, nc, dtype=t["slot_perm"].dtype)[None], (B, dn)
+            )
+            t["slot_perm"] = jnp.concatenate([t["slot_perm"], extra], axis=1)
+        return t
+
+    a, b = fix(a), fix(b)
+    return {k: jnp.concatenate([a[k], b[k]], axis=0) for k in a}
+
+
+def _pixel_kind(rb) -> tuple:
+    pv = rb.pixel_values
+    if pv is None:
+        return ("none",)
+    if rb.resize_tabs is not None:
+        return ("u8src",)
+    if pv.dtype == np.uint8 or str(pv.dtype) == "uint8":
+        return ("u8",)
+    return ("f32",)
+
+
+def _materialize_f32(rb):
+    """Collapse a device-preproc batch (u8 crops or u8 source + tap tables)
+    to the f32 [global, crops...] bank layout ON DEVICE, so a chosen/
+    rejected pair whose sides fell into different preprocessing modes (one
+    hit the extreme-aspect host fallback) can still stack into one forward."""
+    import jax.numpy as jnp
+
+    from ..ops.pixels import hd_resize_u8_bank, prepare_pixel_bank
+
+    pv = jnp.asarray(rb.pixel_values)
+    if rb.resize_tabs is not None:
+        t = {k: jnp.asarray(v) for k, v in rb.resize_tabs.items()}
+        pv = hd_resize_u8_bank(
+            pv, t["hidx"], t["hw"], t["vidx"], t["vw"], t["vbias"],
+            t["col_start"], t["slot_perm"], t["tflag"],
+        )
+    bank = prepare_pixel_bank(pv, jnp.asarray(rb.crop_grid), dtype=jnp.float32)
+    return rb._replace(pixel_values=bank, resize_tabs=None, crop_grid=None)
+
+
 def batch_rm_inference(
     adaptor,
     rows: Sequence[dict],
@@ -98,12 +163,21 @@ def batch_rm_inference(
             if pairwise:
                 chosen, rejected, c_rate, r_rate = batch
                 cb, rb = to_reward_batch(chosen), to_reward_batch(rejected)
+                if (
+                    _pixel_kind(cb) != _pixel_kind(rb)
+                    and "none" not in (_pixel_kind(cb)[0], _pixel_kind(rb)[0])
+                ):
+                    # sides fell into different preproc modes: unify on f32
+                    cb = _materialize_f32(cb) if _pixel_kind(cb)[0] != "f32" else cb
+                    rb = _materialize_f32(rb) if _pixel_kind(rb)[0] != "f32" else rb
                 fields = {}
                 for name, a, b in zip(type(cb)._fields, cb, rb):
                     if a is None:
                         fields[name] = None
                     elif name == "position_ids":  # (3, B, S): batch axis 1
                         fields[name] = jnp.concatenate([a, b], axis=1)
+                    elif name == "resize_tabs":
+                        fields[name] = _merge_resize_tabs(a, b)
                     else:
                         if (
                             name == "pixel_values"
@@ -118,6 +192,22 @@ def batch_rm_inference(
                                 x, [(0, 0), (0, nc - x.shape[1])] + [(0, 0)] * 3
                             )
                             a, b = pad(a), pad(b)
+                        if (
+                            name == "pixel_values"
+                            and a.ndim == 4
+                            and a.shape[1:3] != b.shape[1:3]
+                        ):
+                            # device-resize sources in different size
+                            # buckets: zero-pad spatially (tap weights are
+                            # zero beyond each sample's true extent)
+                            hs = max(a.shape[1], b.shape[1])
+                            ws = max(a.shape[2], b.shape[2])
+                            pad4 = lambda x: jnp.pad(
+                                x,
+                                [(0, 0), (0, hs - x.shape[1]),
+                                 (0, ws - x.shape[2]), (0, 0)],
+                            )
+                            a, b = pad4(a), pad4(b)
                         fields[name] = jnp.concatenate([a, b], axis=0)
                 stacked = type(cb)(**fields)
                 r = np.asarray(score(params, stacked))

@@ -328,15 +328,15 @@ def _decoder_layer(h, lp, tc: QwenTextConfig, cos, sin, attention_mask, attn_imp
         q, k, v, causal=True, key_padding_mask=attention_mask,
         sliding_window=tc.sliding_window, impl=attn_impl,
     ).reshape(B, S, nh * hd)
-    attn = _maybe_lora(attn, attn @ lp["o_proj"]["kernel"], lora_layer, "o_proj")
+    attn = _maybe_lora(attn, _lin(attn, lp["o_proj"]), lora_layer, "o_proj")
     h = residual + attn
 
     residual = h
     x = rms_norm(h, lp["post_attention_layernorm"], tc.rms_norm_eps)
-    gate = _maybe_lora(x, x @ lp["gate_proj"]["kernel"], lora_layer, "gate_proj")
-    up = _maybe_lora(x, x @ lp["up_proj"]["kernel"], lora_layer, "up_proj")
+    gate = _maybe_lora(x, _lin(x, lp["gate_proj"]), lora_layer, "gate_proj")
+    up = _maybe_lora(x, _lin(x, lp["up_proj"]), lora_layer, "up_proj")
     mlp = silu(gate) * up
-    mlp = _maybe_lora(mlp, mlp @ lp["down_proj"]["kernel"], lora_layer, "down_proj")
+    mlp = _maybe_lora(mlp, _lin(mlp, lp["down_proj"]), lora_layer, "down_proj")
     return residual + mlp
 
 

@@ -27,6 +27,7 @@ import functools
 
 import numpy as np
 
+import jax
 import jax.numpy as jnp
 
 OPENAI_CLIP_MEAN = np.asarray([0.48145466, 0.4578275, 0.40821073], np.float32)
@@ -117,3 +118,178 @@ def prepare_pixel_bank(
 
     full = jnp.concatenate([glb[:, None], xf], axis=1)  # (B, nc+1, ...)
     return normalize_pixels(full, dtype=dtype)
+
+
+# ---------------------------------------------------------------- HD resize
+#
+# Device-side HD bilinear resize (SURVEY.md §2b torchvision row, last piece;
+# reference host ops at processing_phi3_v.py:62-104): the host ships the
+# DECODED uint8 original (fewer wire bytes than the resized crop bank) plus
+# tiny per-sample tap tables; the resize + white-pad + crop-split all run on
+# device, and the result feeds prepare_pixel_bank (normalise + global
+# bicubic) above.
+#
+# Exactness: PIL's BILINEAR resample is fixed-point (8bpc path,
+# Resample.c) — horizontal pass first, coefficients rounded to
+# 2^PRECISION_BITS, per-pass accumulate in int32 with round-half-up and a
+# clip to u8. We emulate that arithmetic EXACTLY (int32 gather-multiply-
+# accumulate on the VPU), so the device bank is bit-identical to the host
+# path (test_device_resize.py), not merely close.
+
+PRECISION_BITS = 32 - 8 - 2  # PIL Resample.c 8bpc fixed point
+_HALF = 1 << (PRECISION_BITS - 1)
+WOUT_MAX = MAX_GRID * CROP  # 2688: widest supported landscape HD width
+
+
+def pil_bilinear_taps(in_size: int, out_size: int, k_static: int):
+    """PIL-parity bilinear tap table: (idx (out,), w (out, k_static) int32).
+
+    idx[o] is the first source index of output o's taps; w rows are the
+    fixed-point coefficients (sum 2^PRECISION_BITS), zero-padded to
+    k_static. Mirrors precompute_coeffs + normalize_coeffs_8bpc."""
+    scale = in_size / out_size
+    filterscale = max(scale, 1.0)
+    support = 1.0 * filterscale
+    ksize = int(np.ceil(support)) * 2 + 1
+    if ksize > k_static:
+        raise ValueError(f"k_static {k_static} < required {ksize}")
+    centers = (np.arange(out_size) + 0.5) * scale
+    xmin = np.maximum((centers - support + 0.5).astype(np.int64), 0)
+    xmax = np.minimum((centers + support + 0.5).astype(np.int64), in_size)
+    taps = xmin[:, None] + np.arange(k_static)[None, :]
+    dist = (taps - centers[:, None] + 0.5) / filterscale
+    w = np.maximum(0.0, 1.0 - np.abs(dist))
+    w = np.where(taps < xmax[:, None], w, 0.0)
+    w = w / w.sum(axis=1, keepdims=True)
+    wq = np.where(
+        w < 0,
+        (w * (1 << PRECISION_BITS) - 0.5).astype(np.int64),
+        (w * (1 << PRECISION_BITS) + 0.5).astype(np.int64),
+    )
+    return xmin.astype(np.int32), wq.astype(np.int32)
+
+
+def _fixedpoint_clip8(acc: jnp.ndarray) -> jnp.ndarray:
+    """int32 accumulator (incl. rounding half) -> u8, PIL clip8 semantics."""
+    return jnp.clip(
+        jax.lax.shift_right_arithmetic(acc, PRECISION_BITS), 0, 255
+    ).astype(jnp.uint8)
+
+
+def hd_resize_u8_bank(
+    src_u8: jnp.ndarray,   # (B, Hs, Ws, 3) u8, LANDSCAPE-oriented original
+    hidx: jnp.ndarray,     # (B, WOUT_MAX) int32 first horizontal tap
+    hw: jnp.ndarray,       # (B, WOUT_MAX, Kh) int32 fixed-point weights
+    vidx: jnp.ndarray,     # (B, nc, 336) int32 first vertical tap (source row)
+    vw: jnp.ndarray,       # (B, nc, 336, Kv) int32 (all-zero on white-pad rows)
+    vbias: jnp.ndarray,    # (B, nc, 336) int32 rounding half (+255<<PB on pad rows)
+    col_start: jnp.ndarray,  # (B, nc) int32 first horizontal-output column of slot
+    slot_perm: jnp.ndarray,  # (B, nc) int32 final-order -> landscape-order slots
+    tflag: jnp.ndarray,    # (B,) bool: portrait sample (transpose back)
+) -> jnp.ndarray:
+    """uint8 original -> (B, nc, 336, 336, 3) uint8 HD crop bank, bit-equal
+    to hd_transform_image + crop split on host. All shapes static; every
+    per-sample geometry lives in the host-built tap tables."""
+    B, Hs, Ws, C = src_u8.shape
+    nc = vidx.shape[1]
+    Kh, Kv = hw.shape[-1], vw.shape[-1]
+    src = src_u8.astype(jnp.int32)
+
+    # pass 1 — horizontal (PIL resamples horizontally first)
+    acc = jnp.full((B, Hs, hidx.shape[1], C), _HALF, jnp.int32)
+    for k in range(Kh):
+        col = jnp.clip(hidx + k, 0, Ws - 1)  # (B, Wout)
+        taps = jnp.take_along_axis(src, col[:, None, :, None], axis=2)
+        acc = acc + taps * hw[:, None, :, k, None]
+    hpass = _fixedpoint_clip8(acc).astype(jnp.int32)  # (B, Hs, Wout, 3)
+
+    # column-split into slots BEFORE the vertical pass (shrinks the pass-2
+    # working set from (.., WOUT_MAX, ..) to (.., 336, ..))
+    cols = col_start[:, :, None] + jnp.arange(CROP, dtype=jnp.int32)  # (B, nc, 336)
+    slots = jnp.take_along_axis(
+        hpass[:, None], cols[:, :, None, :, None], axis=3
+    )  # (B, nc, Hs, 336, 3)
+
+    # pass 2 — vertical, white padding folded into vbias
+    acc = jnp.broadcast_to(vbias[:, :, :, None, None], (B, nc, CROP, CROP, C))
+    for k in range(Kv):
+        row = jnp.clip(vidx + k, 0, Hs - 1)  # (B, nc, 336)
+        taps = jnp.take_along_axis(slots, row[:, :, :, None, None], axis=2)
+        acc = acc + taps * vw[:, :, :, None, k, None]
+    bank = _fixedpoint_clip8(acc)  # (B, nc, 336, 336, 3) landscape order
+
+    # portrait samples: permute slots + swap each crop's spatial axes
+    permuted = jnp.take_along_axis(
+        bank, slot_perm[:, :, None, None, None], axis=1
+    )
+    return jnp.where(
+        tflag[:, None, None, None, None], permuted.swapaxes(2, 3), bank
+    )
+
+
+def taps_for_bucket(bucket_edge: int) -> int:
+    """Static tap count covering every downscale a bucket edge can ask for
+    (worst support = bucket_edge/336; ksize = 2*ceil(support)+1)."""
+    import math
+
+    return 2 * math.ceil(max(bucket_edge / CROP, 1.0)) + 1
+
+
+def build_hd_resize_tables(
+    in_h: int,
+    in_w: int,
+    new_w: int,
+    new_h: int,
+    transposed: bool,
+    num_crops: int,
+    kh: int,
+    kv: int,
+):
+    """Host-side (numpy) per-sample tap tables for hd_resize_u8_bank.
+
+    (in_h, in_w): the LANDSCAPE-oriented source size (caller transposes the
+    array for portrait images); (new_w, new_h): hd_transform_scale's resize
+    target. Returns a dict of arrays (unbatched) + the final (hc, wc)."""
+    import math
+
+    nc = num_crops
+    target_h = int(math.ceil(new_h / CROP) * CROP)
+    top = (target_h - new_h) // 2
+    hcL, wcL = target_h // CROP, new_w // CROP
+    if wcL * CROP > WOUT_MAX:
+        raise ValueError(f"HD width {new_w} exceeds device budget {WOUT_MAX}")
+
+    hx, hwt = pil_bilinear_taps(in_w, new_w, kh)
+    hidx = np.zeros((WOUT_MAX,), np.int32)
+    hw = np.zeros((WOUT_MAX, kh), np.int32)
+    hidx[:new_w] = hx
+    hw[:new_w] = hwt
+
+    vx, vwt = pil_bilinear_taps(in_h, new_h, kv)
+    vidx = np.zeros((nc, CROP), np.int32)
+    vw = np.zeros((nc, CROP, kv), np.int32)
+    vbias = np.full((nc, CROP), _HALF + (255 << PRECISION_BITS), np.int32)
+    col_start = np.zeros((nc,), np.int32)
+    for s in range(min(hcL * wcL, nc)):
+        rL, cL = divmod(s, wcL)
+        col_start[s] = cL * CROP
+        g = rL * CROP + np.arange(CROP)
+        inside = (g >= top) & (g < top + new_h)
+        src_rows = np.clip(g - top, 0, new_h - 1)
+        vidx[s] = np.where(inside, vx[src_rows], 0)
+        vw[s] = np.where(inside[:, None], vwt[src_rows], 0)
+        vbias[s] = np.where(inside, _HALF, vbias[s])
+
+    slot_perm = np.arange(nc, dtype=np.int32)
+    if transposed:
+        hc, wc = wcL, hcL
+        for r in range(hc):
+            for c in range(wc):
+                slot_perm[r * wc + c] = c * wcL + r
+    else:
+        hc, wc = hcL, wcL
+    return {
+        "hidx": hidx, "hw": hw, "vidx": vidx, "vw": vw, "vbias": vbias,
+        "col_start": col_start, "slot_perm": slot_perm,
+        "tflag": np.asarray(transposed),
+    }, (hc, wc)

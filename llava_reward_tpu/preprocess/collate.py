@@ -52,6 +52,25 @@ def collate_samples(
     img_gather_idx = None
     num_img_tokens = None
     crop_grid = None
+    n_src = sum(
+        1 for s in samples if getattr(s, "src_u8", None) is not None
+    )
+    if n_src:
+        img_like = [
+            s for s in samples
+            if s.pixel_values is not None or getattr(s, "src_u8", None) is not None
+        ]
+        if n_src == len(img_like):
+            return _collate_u8src(samples, seq_len, pad_token_id, img_token_budget)
+        # mixed (rare: some images fell back to host paths): host-resize the
+        # device-resize samples — bit-identical, the device op matches PIL
+        from .phi3v_processor import sample_from_src
+
+        samples = [
+            sample_from_src(s) if getattr(s, "src_u8", None) is not None else s
+            for s in samples
+        ]
+        has_image = True
     if has_image:
         img_samples = [s for s in samples if s.pixel_values is not None]
         # llava samples have no crop_grid field (anyres keeps the f32 path)
@@ -223,6 +242,92 @@ def _collate_u8(
     )
 
 
+SRC_BUCKETS = (672, 1008, 1344, 2016, 2688)  # square u8-source buckets
+
+
+def _collate_u8src(
+    samples: Sequence[ProcessedSample],
+    seq_len: int,
+    pad_token_id: int,
+    img_token_budget: Optional[int] = None,
+) -> "Batch":
+    """Device-RESIZE collation (LRT_DEVICE_RESIZE=1): the batch carries the
+    decoded uint8 originals (landscape-oriented, padded into a static square
+    bucket) + per-sample bilinear tap tables; HD resize, white-pad, crop
+    split, normalisation and the global bicubic ALL run on device
+    (ops/pixels.hd_resize_u8_bank + prepare_pixel_bank)."""
+    from ..ops.pixels import build_hd_resize_tables, taps_for_bucket
+    from .phi3v_processor import build_img_gather_idx
+
+    B = len(samples)
+    input_ids = np.full((B, seq_len), pad_token_id, dtype=np.int32)
+    attention_mask = np.zeros((B, seq_len), dtype=np.int32)
+    splice_idx = np.full((B, seq_len), -1, dtype=np.int32)
+
+    img_samples = [s for s in samples if s.src_u8 is not None]
+    budget = (
+        img_token_budget
+        if img_token_budget is not None
+        else max(s.img_gather_idx.shape[0] for s in img_samples)
+    )
+    real = max(s.crop_grid[0] * s.crop_grid[1] for s in img_samples)
+    nc = min((b for b in U8_CROP_BUCKETS if b >= real), default=real)
+
+    edge = max(max(s.src_u8.shape[:2]) for s in img_samples)
+    bucket = min((b for b in SRC_BUCKETS if b >= edge), default=edge)
+    k = taps_for_bucket(bucket)
+
+    src = np.zeros((B, bucket, bucket, 3), dtype=np.uint8)
+    crop_grid = np.ones((B, 2), dtype=np.int32)
+    img_gather_idx = np.zeros((B, budget), dtype=np.int32)
+    num_img_tokens = np.zeros((B,), dtype=np.int32)
+    tabs: List[dict] = []
+
+    from ..ops.pixels import _HALF, PRECISION_BITS, WOUT_MAX
+
+    white = {
+        "hidx": np.zeros((WOUT_MAX,), np.int32),
+        "hw": np.zeros((WOUT_MAX, k), np.int32),
+        "vidx": np.zeros((nc, 336), np.int32),
+        "vw": np.zeros((nc, 336, k), np.int32),
+        "vbias": np.full((nc, 336), _HALF + (255 << PRECISION_BITS), np.int32),
+        "col_start": np.zeros((nc,), np.int32),
+        "slot_perm": np.arange(nc, dtype=np.int32),
+        "tflag": np.asarray(False),
+    }
+    for b, s in enumerate(samples):
+        ids = s.input_ids[:seq_len]
+        n = ids.shape[0]
+        input_ids[b, seq_len - n :] = ids
+        attention_mask[b, seq_len - n :] = s.attention_mask[:seq_len]
+        splice_idx[b, seq_len - n :] = s.splice_idx[:seq_len]
+        if s.src_u8 is None:
+            tabs.append(white)  # text-only row: all-white bank, never gathered
+            continue
+        hs, ws = s.src_u8.shape[:2]
+        src[b, :hs, :ws] = s.src_u8
+        new_w, new_h, transposed = s.resize_geom
+        t, (hc, wc) = build_hd_resize_tables(
+            hs, ws, new_w, new_h, transposed, nc, kh=k, kv=k
+        )
+        tabs.append(t)
+        crop_grid[b] = (hc, wc)
+        img_gather_idx[b] = build_img_gather_idx(hc, wc, nc, budget)
+        num_img_tokens[b] = s.num_img_tokens
+
+    resize_tabs = {key: np.stack([t[key] for t in tabs]) for key in tabs[0]}
+    return Batch(
+        input_ids=input_ids,
+        attention_mask=attention_mask,
+        splice_idx=splice_idx,
+        pixel_values=src,
+        img_gather_idx=img_gather_idx,
+        num_img_tokens=num_img_tokens,
+        crop_grid=crop_grid,
+        resize_tabs=resize_tabs,
+    )
+
+
 def collate_qwen_samples(
     samples,  # Sequence[qwen_vision.QwenProcessedSample]
     seq_len: int,
@@ -326,4 +431,5 @@ def to_reward_batch(batch: Batch):
         rot_pos=batch.get("rot_pos"),
         unit_gather=batch.get("unit_gather"),
         crop_grid=batch.get("crop_grid"),
+        resize_tabs=batch.get("resize_tabs"),
     )

@@ -283,6 +283,77 @@ def preprocess_image(
     return out, (h, w), num_img_tokens_for(h, w)
 
 
+def decode_to_u8(image) -> np.ndarray:
+    """PIL image / raw bytes -> decoded uint8 RGB (H, W, 3), no resize
+    (device-resize mode ships this as-is; native C++ decode when built)."""
+    if isinstance(image, (bytes, bytearray)):
+        from . import native
+
+        blob = bytes(image)
+        if native.native_available():
+            arr = native.decode_image(blob)
+            if arr is not None:
+                return arr
+        import io
+
+        from PIL import Image
+
+        image = Image.open(io.BytesIO(blob))
+    return np.asarray(image.convert("RGB"), dtype=np.uint8)
+
+
+def preprocess_image_src(image, num_crops: int = 16):
+    """Device-resize preprocessing for one image: decode only; the HD
+    bilinear resize + pad + crop split run on device (ops/pixels.
+    hd_resize_u8_bank, bit-exact vs hd_transform_image).
+
+    Returns (src_u8_landscape, resize_geom, (h, w) final, n_tokens), or
+    None when the geometry exceeds the device budget (fallback to the
+    u8/f32 host paths)."""
+    from ..ops.pixels import MAX_GRID, WOUT_MAX
+
+    arr = decode_to_u8(image)
+    h0, w0 = arr.shape[:2]
+    new_w, new_h, transposed = hd_transform_scale(w0, h0, num_crops)
+    _, target_h = padded_size(new_w, new_h)
+    hcL, wcL = target_h // 336, new_w // 336
+    land = arr.transpose(1, 0, 2) if transposed else arr
+    if (
+        max(hcL, wcL) > MAX_GRID
+        or max(land.shape[:2]) > WOUT_MAX
+        or new_w > WOUT_MAX
+    ):
+        return None
+    h, w = (new_w, target_h) if transposed else (target_h, new_w)
+    return np.ascontiguousarray(land), (new_w, new_h, transposed), (h, w), num_img_tokens_for(h, w)
+
+
+def sample_from_src(s: "ProcessedSample") -> "ProcessedSample":
+    """Mixed-batch fallback: host-resize a device-resize sample back into
+    u8 crops (identical output — the device op is bit-exact vs this)."""
+    import dataclasses
+
+    from PIL import Image
+
+    new_w, new_h, transposed = s.resize_geom
+    img = Image.fromarray(s.src_u8).resize((new_w, new_h), Image.BILINEAR)
+    arr = np.asarray(img, dtype=np.uint8)
+    _, target_h = padded_size(new_w, new_h)
+    top = (target_h - new_h) // 2
+    arr = np.pad(
+        arr, ((top, target_h - new_h - top), (0, 0), (0, 0)),
+        mode="constant", constant_values=255,
+    )
+    if transposed:
+        arr = arr.transpose(1, 0, 2)
+    h, w = arr.shape[:2]
+    hc, wc = h // 336, w // 336
+    crops = arr.reshape(hc, 336, wc, 336, 3).transpose(0, 2, 1, 3, 4)
+    crops = np.ascontiguousarray(crops.reshape(hc * wc, 336, 336, 3))
+    assert (hc, wc) == tuple(s.crop_grid), ((hc, wc), s.crop_grid)
+    return dataclasses.replace(s, pixel_values=crops, src_u8=None, resize_geom=None)
+
+
 def host_bank_from_u8(
     crops_u8: np.ndarray, crop_grid: Tuple[int, int]
 ) -> np.ndarray:
@@ -317,6 +388,11 @@ class ProcessedSample:
     num_img_tokens: int
     image_size: Tuple[int, int]  # (h, w) post-HD
     crop_grid: Optional[Tuple[int, int]] = None  # (hc, wc) in u8 mode
+    # device-RESIZE mode (LRT_DEVICE_RESIZE=1): the DECODED original ships
+    # and the HD bilinear resize itself runs on device (ops/pixels.
+    # hd_resize_u8_bank); pixel_values is None and these two are set.
+    src_u8: Optional[np.ndarray] = None  # landscape-oriented (h, w, 3) u8
+    resize_geom: Optional[Tuple[int, int, bool]] = None  # (new_w, new_h, transposed)
 
 
 class Phi3VProcessor:
@@ -345,6 +421,13 @@ class Phi3VProcessor:
         # ship u8 crops and normalise/global-resize on device (single-image
         # samples with grids <= ops/pixels.MAX_GRID; others fall back to f32)
         self.device_preproc = device_preproc
+        # LRT_DEVICE_RESIZE=1: ship the DECODED original instead and run the
+        # HD bilinear resize itself on device too (opt-in, needs device_preproc)
+        import os
+
+        self.device_resize = device_preproc and os.environ.get(
+            "LRT_DEVICE_RESIZE", "0"
+        ) == "1"
 
     def _tokenize(self, text: str) -> List[int]:
         out = self.tokenizer(text)
@@ -381,15 +464,25 @@ class Phi3VProcessor:
         # the leading GN sentinel rows, so image i's crop c lives at rows
         # 2 + (i*(num_crops+1) + c)*144 ...
         crop_grid = None
+        src_u8 = resize_geom = None
         use_u8 = self.device_preproc and len(images) == 1
-        if use_u8:
+        if use_u8 and self.device_resize:
+            src = preprocess_image_src(images[0], self.num_crops)
+            if src is not None:
+                src_u8, resize_geom, (h8, w8), n_tok8 = src
+                crop_grid = (h8 // 336, w8 // 336)
+                per_img = [(None, (h8, w8), n_tok8)]
+                use_u8 = False  # skip the crop-bank branches below
+        if use_u8 and src_u8 is None:
             from ..ops.pixels import MAX_GRID
 
             per_img = [preprocess_image(im, self.num_crops, layout="u8") for im in images]
             h8, w8 = per_img[0][1]
             if h8 // 336 > MAX_GRID or w8 // 336 > MAX_GRID:
                 use_u8 = False  # extreme aspect: host f32 fallback
-        if use_u8:
+        if src_u8 is not None:
+            pixel_values = None
+        elif use_u8:
             pixel_values = per_img[0][0]  # (hc*wc, 336, 336, 3) uint8
             crop_grid = (h8 // 336, w8 // 336)
         else:
@@ -435,6 +528,8 @@ class Phi3VProcessor:
             num_img_tokens=slot,
             image_size=(h0, w0),
             crop_grid=crop_grid,
+            src_u8=src_u8,
+            resize_geom=resize_geom,
         )
 
 

@@ -67,6 +67,9 @@ class RewardBatch(NamedTuple):
     crop_grid: Optional[jnp.ndarray] = None  # phi3v u8 path: (B, 2) (hc, wc)
     # when pixel_values is uint8 (B, nc, 336, 336, 3) CROPS-ONLY, the
     # device computes normalisation + the global bicubic (ops/pixels.py)
+    resize_tabs: Optional[dict] = None  # device-RESIZE path: pixel_values is
+    # the DECODED u8 original (B, Hs, Ws, 3) + these bilinear tap tables;
+    # the HD resize itself runs on device (ops/pixels.hd_resize_u8_bank)
 
 
 class RewardOutput(NamedTuple):
@@ -155,9 +158,17 @@ def reward_forward(
         if pixel_values is not None and pixel_values.dtype == jnp.uint8:
             # device-side preprocessing path: u8 crops -> normalised bank
             # with the MXU-computed global view (ops/pixels.py)
-            from ..ops.pixels import prepare_pixel_bank
+            from ..ops.pixels import hd_resize_u8_bank, prepare_pixel_bank
 
             assert batch.crop_grid is not None, "u8 pixels need crop_grid"
+            if batch.resize_tabs is not None:
+                # device-RESIZE path: decoded original -> PIL-exact bilinear
+                # HD resize + white-pad + crop split, all on device
+                t = batch.resize_tabs
+                pixel_values = hd_resize_u8_bank(
+                    pixel_values, t["hidx"], t["hw"], t["vidx"], t["vw"],
+                    t["vbias"], t["col_start"], t["slot_perm"], t["tflag"],
+                )
             pixel_values = prepare_pixel_bank(
                 pixel_values, batch.crop_grid, dtype=jnp.float32
             )

@@ -152,17 +152,11 @@ def is_w8a8(leaf: Any) -> bool:
     return isinstance(leaf, dict) and _Q8A in leaf
 
 
-def int8_linear(x: jnp.ndarray, qd: Dict[str, jnp.ndarray]) -> jnp.ndarray:
-    """x (..., in) @ int8 weight (in, out) on the int8 MXU path.
-
-    Per-row dynamic activation quantization (absmax -> round to int8), an
-    s8 x s8 -> s32 dot_general, then the f32 epilogue folds both scales.
-    XLA fuses the quantize pass and the epilogue into the matmul."""
-    w = qd[_Q8A]
-    scale = qd["scale"]  # (1, out) or (out,)
-    lead = x.shape[:-1]
-    K = x.shape[-1]
-    x2 = x.reshape(-1, K)
+def _int8_matmul_2d(x2: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray) -> jnp.ndarray:
+    """(N, in) x int8 (in, out) core: per-row dynamic activation quantization
+    (absmax -> round to int8), an s8 x s8 -> s32 dot_general, then the f32
+    epilogue folds both scales. XLA fuses the quantize pass and the epilogue
+    into the matmul."""
     xf = x2.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     amax = jnp.where(amax > 0, amax, 1.0)
@@ -170,8 +164,52 @@ def int8_linear(x: jnp.ndarray, qd: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     y = jax.lax.dot_general(
         xq, w, (((1,), (0,)), ((), ())), preferred_element_type=jnp.int32
     )
-    y = y.astype(jnp.float32) * (amax / 127.0) * scale.reshape(1, -1)
-    return y.reshape(*lead, -1).astype(x.dtype)
+    yf = y.astype(jnp.float32) * (amax / 127.0) * scale.reshape(1, -1)
+    return yf.astype(x2.dtype)
+
+
+@jax.custom_vjp
+def _int8_linear_core(x2, w, scale):
+    return _int8_matmul_2d(x2, w, scale)
+
+
+def _int8_core_fwd(x2, w, scale):
+    # x2 itself is not a residual: the backward only needs W (frozen) — the
+    # QLoRA property (reference trains LoRA over a 4-bit frozen base,
+    # rw_model_general_preference.py:166-175; no dW is ever formed).
+    return _int8_matmul_2d(x2, w, scale), (w, scale)
+
+
+def _int8_core_bwd(res, dy):
+    """dx = dy @ W_eff^T with W_eff = w * scale[out].
+
+    Straight-through wrt the activation quantization (round'(x) = 0 a.e. —
+    without this rule, LoRA grads upstream of any int8 layer would be
+    silently zero). The int8->bf16 operand convert fuses into the matmul
+    load, so the backward runs at full bf16 MXU rate without ever
+    materializing a dequantized weight copy in HBM."""
+    w, scale = res
+    dys = dy.astype(jnp.float32) * scale.reshape(1, -1)
+    dx = jax.lax.dot_general(
+        dys.astype(jnp.bfloat16), w.astype(jnp.bfloat16),
+        (((1,), (1,)), ((), ())), preferred_element_type=jnp.float32,
+    )
+    # int dtypes take float0 cotangents (zero-byte arrays, costless)
+    zero_w = np.zeros(w.shape, dtype=jax.dtypes.float0)
+    return dx.astype(dy.dtype), zero_w, jnp.zeros_like(scale)
+
+
+_int8_linear_core.defvjp(_int8_core_fwd, _int8_core_bwd)
+
+
+def int8_linear(x: jnp.ndarray, qd: Dict[str, jnp.ndarray]) -> jnp.ndarray:
+    """x (..., in) @ int8 weight (in, out) on the int8 MXU path; see
+    _int8_matmul_2d. Differentiable in x (custom_vjp), so a W8A8-quantized
+    frozen backbone can sit under LoRA training (--load_in_8bit)."""
+    lead = x.shape[:-1]
+    x2 = x.reshape(-1, x.shape[-1])
+    y = _int8_linear_core(x2, qd[_Q8A], qd["scale"])
+    return y.reshape(*lead, -1)
 
 
 def qmatmul(x: jnp.ndarray, w) -> jnp.ndarray:

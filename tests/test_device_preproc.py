@@ -152,3 +152,75 @@ def test_mixed_batch_falls_back_to_f32(rng):
         batch["pixel_values"][1],
         atol=1e-5,
     )
+
+
+def test_end_to_end_device_resize_matches_u8_path(rng, monkeypatch):
+    """LRT_DEVICE_RESIZE=1: decoded-original batches (device HD resize) must
+    score EXACTLY like the u8-crop path — the device bilinear is bit-exact
+    vs PIL, so the downstream pixel banks are identical."""
+    monkeypatch.setenv("LRT_DEVICE_RESIZE", "1")
+    cfg = phi3v_tiny_config(num_crops=4, num_layers=2, vision_layers=1)
+    rcfg = RewardConfig(is_general_preference=True, value_head_dim=2)
+    rcfg.layer_id = cfg.decoder.num_layers
+    params = {
+        "backbone": phi3v.init_params(jax.random.PRNGKey(0), cfg),
+        "head": init_head_params(jax.random.PRNGKey(1), cfg, rcfg),
+    }
+    tok = _Tok()
+    proc_rs = Phi3VProcessor(tok, num_crops=cfg.num_crops, device_preproc=True)
+    assert proc_rs.device_resize
+    monkeypatch.setenv("LRT_DEVICE_RESIZE", "0")
+    proc_u8 = Phi3VProcessor(tok, num_crops=cfg.num_crops, device_preproc=True)
+    assert not proc_u8.device_resize
+
+    # one landscape + one portrait (transpose path)
+    imgs = [
+        Image.fromarray((rng.random((380, 500, 3)) * 255).astype(np.uint8)),
+        Image.fromarray((rng.random((520, 390, 3)) * 255).astype(np.uint8)),
+    ]
+    pad = cfg.decoder.pad_token_id
+
+    def run(proc, expect_src):
+        samples = [
+            proc(f"prompt number {i} <|image_1|> end", [img])
+            for i, img in enumerate(imgs)
+        ]
+        if expect_src:
+            assert all(s.src_u8 is not None for s in samples)
+        batch = collate_samples(samples, 640, pad)
+        if expect_src:
+            assert batch["pixel_values"].dtype == np.uint8
+            assert batch["pixel_values"].ndim == 4  # (B, Hs, Ws, 3) source
+            assert "resize_tabs" in batch
+        rb = to_reward_batch(batch)
+        rb = rb._replace(
+            **{
+                f: jax.tree_util.tree_map(jnp.asarray, getattr(rb, f))
+                for f in rb._fields
+                if getattr(rb, f) is not None
+            }
+        )
+        return np.asarray(
+            reward_forward(params, cfg, rcfg, rb, training=False, attn_impl="xla").reward
+        )
+
+    r_rs = run(proc_rs, expect_src=True)
+    r_u8 = run(proc_u8, expect_src=False)
+    np.testing.assert_allclose(r_rs, r_u8, atol=1e-6, rtol=1e-6)
+
+
+def test_device_resize_mixed_batch_falls_back(rng, monkeypatch):
+    """A batch mixing device-resize samples with host-path samples converts
+    the former on host (sample_from_src) — same rewards, no resize_tabs."""
+    monkeypatch.setenv("LRT_DEVICE_RESIZE", "1")
+    tok = _Tok()
+    proc_rs = Phi3VProcessor(tok, num_crops=4, device_preproc=True)
+    monkeypatch.setenv("LRT_DEVICE_RESIZE", "0")
+    proc_f32 = Phi3VProcessor(tok, num_crops=4, device_preproc=False)
+    img = Image.fromarray((rng.random((380, 500, 3)) * 255).astype(np.uint8))
+    s_rs = proc_rs("a <|image_1|> b", [img])
+    s_f32 = proc_f32("c <|image_1|> d", [img])
+    assert s_rs.src_u8 is not None and s_f32.pixel_values is not None
+    batch = collate_samples([s_rs, s_f32], 256, 0)
+    assert "resize_tabs" not in batch
+    assert batch["pixel_values"].dtype == np.float32  # everything went f32

@@ -406,3 +406,70 @@ def test_w8a8_adaptor_roundtrip(tmp_path, rng):
     r_q = score(a_q)
     assert np.all(np.isfinite(r_q))
     np.testing.assert_allclose(r_q, r_fp, rtol=0.1, atol=0.05)
+
+
+def test_int8_linear_grad_matches_dequant_matmul(rng):
+    """custom_vjp: dx must equal the straight-through dequantized-matmul
+    gradient (dy @ (W*scale)^T) — round() would otherwise zero it."""
+    from llava_reward_tpu.utils.quantize import int8_linear, quantize_array_w8a8
+
+    x = jnp.asarray(rng.standard_normal((3, 5, 64)).astype(np.float32))
+    w = (rng.standard_normal((64, 48)) * 0.05).astype(np.float32)
+    qd = {k: jnp.asarray(v) for k, v in quantize_array_w8a8(w).items()}
+    co = jnp.asarray(rng.standard_normal((3, 5, 48)).astype(np.float32))
+
+    g = jax.grad(lambda xx: (int8_linear(xx, qd) * co).sum())(x)
+    wd = np.asarray(qd["qvalues_w8a8"], np.float32) * np.asarray(qd["scale"])
+    ref = np.asarray(co) @ (
+        np.asarray(wd, np.float32).astype(jnp.bfloat16).astype(np.float32)
+    ).T
+    np.testing.assert_allclose(np.asarray(g), ref, rtol=3e-2, atol=3e-2)
+    assert np.abs(np.asarray(g)).max() > 0  # not silently zero
+
+
+def test_w8a8_lora_train_step_produces_grads():
+    """QLoRA-over-int8: a LoRA train step on a w8a8 frozen decoder must give
+    finite loss and NONZERO adapter grads in every layer (the residual-stream
+    cotangent flows through int8_linear's custom_vjp)."""
+    from llava_reward_tpu.core.config import RewardConfig, phi3v_tiny_config
+    from llava_reward_tpu.lora.lora import init_lora
+    from llava_reward_tpu.reward import init_head_params
+    from llava_reward_tpu.reward.model import RewardBatch
+    from llava_reward_tpu.train.train_step import make_pairwise_loss_fn
+
+    rng = np.random.default_rng(3)
+    cfg = phi3v_tiny_config(num_layers=3, num_crops=4)
+    rcfg = RewardConfig(is_general_preference=True, value_head_dim=2,
+                        layer_id=cfg.decoder.num_layers)
+    backbone = phi3v.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.float32)
+    backbone = dict(backbone)
+    backbone["decoder"] = dict(backbone["decoder"])
+    backbone["decoder"]["layers"] = quantize_stacked_layers(
+        backbone["decoder"]["layers"], min_size=0, scheme="w8a8"
+    )
+    frozen = {"backbone": backbone}
+    trainable = {
+        "head": init_head_params(jax.random.PRNGKey(1), cfg, rcfg, dtype=jnp.float32),
+        "lora": init_lora(jax.random.PRNGKey(2), cfg.decoder, 4, 8),
+        "projector": None,
+    }
+
+    B, S = 2, 24
+    def mk(seed):
+        r = np.random.default_rng(seed)
+        return RewardBatch(
+            input_ids=jnp.asarray(r.integers(2, cfg.decoder.vocab_size - 1, (B, S)).astype(np.int32)),
+            attention_mask=jnp.asarray(np.ones((B, S), np.int32)),
+            pixel_values=None, img_gather_idx=None,
+            splice_idx=None, num_img_tokens=None,
+        )
+
+    loss_fn = make_pairwise_loss_fn(cfg, rcfg, attn_impl="xla", remat=True)
+    (loss, _), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+        trainable, frozen, mk(0), mk(1)
+    )
+    assert np.isfinite(float(loss))
+    # B is zero-initialised (dA = 0 at init), so the flow check is on B
+    gb = np.asarray(grads["lora"]["qkv_proj"]["b"])  # (L, ...)
+    per_layer = np.abs(gb).reshape(gb.shape[0], -1).max(axis=1)
+    assert (per_layer > 0).all(), per_layer

@@ -123,22 +123,29 @@ def train(args):
     # lora_rank == 0 means FULL fine-tuning in the reference (consumed by the
     # _ft_phi eval harness); the whole backbone becomes trainable.
     full_finetune = args.lora_rank == 0
-    if full_finetune and args.load_in_4bit:
-        raise ValueError("--load_in_4bit requires LoRA (frozen backbone)")
-    if args.load_in_4bit:
-        # bitsandbytes-NF4-grid weight-only quantization by default
-        # (rw_model_general_preference.py:166-175); --quant_scheme absmax
-        # selects the simpler symmetric-int4 grid instead
+    load_in_8bit = getattr(args, "load_in_8bit", False)
+    if full_finetune and (args.load_in_4bit or load_in_8bit):
+        raise ValueError("--load_in_4bit/--load_in_8bit require LoRA (frozen backbone)")
+    if args.load_in_4bit and load_in_8bit:
+        raise ValueError("--load_in_4bit and --load_in_8bit are exclusive")
+    if args.load_in_4bit or load_in_8bit:
+        # QLoRA-style training over a quantized frozen decoder
+        # (rw_model_general_preference.py:166-175). --load_in_4bit: the
+        # bitsandbytes-NF4 grid by default (--quant_scheme absmax for
+        # symmetric int4), dequantized before each bf16 matmul.
+        # --load_in_8bit: W8A8 — weights STAY int8 in the matmul (v5e
+        # 394 TOPS path, differentiable via utils/quantize custom_vjp),
+        # halving frozen-weight HBM vs bf16 AND speeding the train step.
         from llava_reward_tpu.utils.quantize import quantize_stacked_layers
 
-        scheme = getattr(args, "quant_scheme", "nf4")
+        scheme = "w8a8" if load_in_8bit else getattr(args, "quant_scheme", "nf4")
         dec_key = "decoder" if "decoder" in backbone else "text"
         backbone = dict(backbone)
         backbone[dec_key] = dict(backbone[dec_key])
         backbone[dec_key]["layers"] = quantize_stacked_layers(
             backbone[dec_key]["layers"], bits=4, scheme=scheme
         )
-        logger.info("frozen decoder weights quantized to 4-bit (%s)", scheme)
+        logger.info("frozen decoder weights quantized (%s)", scheme)
     if full_finetune:
         logger.info("lora_rank=0 -> full fine-tuning (backbone trainable)")
         frozen = {"backbone": {k: backbone[k] for k in ("lm_head",) if k in backbone}}
