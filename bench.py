@@ -40,6 +40,18 @@ import time
 
 import numpy as np
 
+_T0 = time.perf_counter()
+_LAST = [_T0]
+
+
+def _phase(name):
+    """Stderr phase timing (diagnosing where per-metric wall time goes —
+    through the tunnel, transfers and init can dwarf the measured steps)."""
+    now = time.perf_counter()
+    print(f"[bench-phase] {name}: +{now - _LAST[0]:.1f}s (t={now - _T0:.1f}s)",
+          file=sys.stderr, flush=True)
+    _LAST[0] = now
+
 BASELINES = {
     "fwd_bf16": (2.0, "estimated: 55 TF/pair at 35% MFU of A100-312TF/s "
                  "(module docstring; no GPU in env to measure)", [1.7, 2.3]),
@@ -143,11 +155,13 @@ def _timed_steps(fn, params, batches, warm_batch):
     # whole weight tree as compile-time constants (GBs through the
     # remote-compile tunnel; observed to break the transport at 8 GB).
     np.asarray(fn(params, warm_batch))  # compile + settle (host fetch = barrier)
+    _phase("warmup compile+settle")
     times = []
     for b in batches:
         t0 = time.perf_counter()
         np.asarray(fn(params, b))
         times.append(time.perf_counter() - t0)
+    _phase(f"timed steps x{len(batches)}")
     return float(np.median(times))
 
 
@@ -173,10 +187,12 @@ def metric_fwd(quant: bool):
     cfg = phi3v_tiny_config(num_crops=4) if tiny else phi35_vision_config()
     rcfg = RewardConfig(is_general_preference=True, value_head_dim=2,
                         add_cross_attention=True, layer_id=cfg.decoder.num_layers)
+    _phase("imports")
     params = {
         "backbone": phi3v.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16),
         "head": init_head_params(jax.random.PRNGKey(1), cfg, rcfg, dtype=jnp.bfloat16),
     }
+    _phase("param init")
     if quant:
         # decoder only: int8 loses at CLIP K~1024 shapes (PERF.md round 3)
         params["backbone"]["decoder"]["layers"] = _to_w8a8_device(
@@ -209,8 +225,13 @@ def metric_fwd(quant: bool):
             num_img_tokens=jnp.full((B,), n_img, np.int32),
         )
 
+    if quant:
+        _phase("quantize")
+    batches = [mk(10 + i) for i in range(steps)]
+    warm = mk(0)
+    _phase("batch build+upload")
     fwd = jax.jit(lambda p, b: reward_forward(p, cfg, rcfg, b, training=False).reward)
-    med = _timed_steps(fwd, params, [mk(10 + i) for i in range(steps)], mk(0))
+    med = _timed_steps(fwd, params, batches, warm)
     emit("fwd_int8" if quant else "fwd_bf16", pairs / med)
 
 
@@ -263,6 +284,7 @@ def metric_qwen_int8():
         "backbone": {"text": text, "visual": visual},
         "head": init_head_params(jax.random.PRNGKey(3), cfg, rcfg, dtype=jnp.bfloat16),
     }
+    _phase("param init")
 
     # one 1280-patch image per seq (HF default max_pixels budget):
     # grid (1, 32, 40) -> 320 merged units, windowizes with zero pad
@@ -295,8 +317,11 @@ def metric_qwen_int8():
             unit_gather=jnp.asarray(np.tile(unit_gather[None], (B, 1))),
         )
 
+    batches = [mk(10 + i) for i in range(steps)]
+    warm = mk(0)
+    _phase("batch build+upload")
     fwd = jax.jit(lambda p, b: reward_forward(p, cfg, rcfg, b, training=False).reward)
-    med = _timed_steps(fwd, params, [mk(10 + i) for i in range(steps)], mk(0))
+    med = _timed_steps(fwd, params, batches, warm)
     emit("qwen_int8", pairs / med, extra={
         "config": "Qwen2.5-VL-7B FULL 28 layers, int8 decoder, "
                   f"B={B} seqs, seq={seq}, 1280-patch image/seq"})
@@ -367,6 +392,7 @@ def metric_llava_int8():
         "backbone": {"text": text, "vision": vision},
         "head": init_head_params(jax.random.PRNGKey(5), cfg, rcfg, dtype=jnp.bfloat16),
     }
+    _phase("param init")
 
     # 672x672 anyres (the square max): 2x2 tiles + base, 2928 image tokens
     gidx, n_img = build_anyres_gather_idx(672, 672, budget=2928)
@@ -387,8 +413,11 @@ def metric_llava_int8():
             num_img_tokens=jnp.full((B,), n_img, np.int32),
         )
 
+    batches = [mk(10 + i) for i in range(steps)]
+    warm = mk(0)
+    _phase("batch build+upload")
     fwd = jax.jit(lambda p, b: reward_forward(p, cfg, rcfg, b, training=False).reward)
-    med = _timed_steps(fwd, params, [mk(10 + i) for i in range(steps)], mk(0))
+    med = _timed_steps(fwd, params, batches, warm)
     emit("llava_int8", pairs / med, extra={
         "config": "LLaVA-1.6-vicuna-13B FULL 40 layers, int8 MLP + int4 "
                   f"attention decoder (13B in ~10.8 GB), B={B} seqs, "
@@ -448,12 +477,14 @@ def metric_train():
             num_img_tokens=jnp.full((B,), n_img, np.int32),
         )
 
+    _phase("param init")
     tx = make_optimizer(2e-4, 100, warmup_ratio=0.03)
     loss_fn = make_pairwise_loss_fn(cfg, rcfg, attn_impl="auto", remat=True)
     step = jax.jit(make_train_step(loss_fn, tx))
     st = init_train_state(trainable, tx)
     st, m = step(st, frozen, mk(1), mk(2))
     float(np.asarray(m["preference_loss"]))  # barrier
+    _phase("warmup compile+settle")
     times = []
     for i in range(steps):
         b1, b2 = mk(10 + i), mk(20 + i)

@@ -223,6 +223,62 @@ class RewardAdaptor:
         return score
 
 
+def _merge_projector_lora(proj: dict, lora_sd: dict, alpha: float, rank: int) -> bool:
+    """Merge img_projection.{0,2} LoRA (a reference unfrozen-vision target,
+    utils/utils.py:211-212) into the projector fc1/fc2 kernels. PEFT stores
+    lora_A (r, in) / lora_B (out, r); torch delta B@A is (out, in), ours is
+    its transpose. Returns True if any keys were merged."""
+    merged = False
+    for idx, fc in (("0", "fc1"), ("2", "fc2")):
+        a = b = None
+        for k, v in lora_sd.items():
+            if f"img_projection.{idx}.lora_A" in k:
+                a = v
+            elif f"img_projection.{idx}.lora_B" in k:
+                b = v
+        if a is None or b is None:
+            continue
+        delta = (alpha / rank) * (b @ a).T  # (in, out)
+        kern = np.asarray(proj[fc]["kernel"])
+        proj[fc]["kernel"] = kern + delta.astype(kern.dtype)
+        merged = True
+    return merged
+
+
+def _check_lora_consumed(lora_sd, targets, vision_merged, proj_merged, *,
+                         strict: bool = True):
+    """Error on adapter keys no merge path consumed (e.g. a PEFT adapter
+    trained on modules this loader doesn't know) — the reference's
+    load_adapter is strict about this too."""
+    from ..lora.lora import _PEFT_PATH, _VISION_PEFT_PREFIX, _VISION_PEFT_PATH
+
+    dec_paths = [_PEFT_PATH[t] for t in targets]
+
+    def consumed(k):
+        if _VISION_PEFT_PREFIX in k:
+            return vision_merged and any(
+                f"{p}.lora_" in k for p in _VISION_PEFT_PATH.values()
+            )
+        if "img_projection." in k:
+            return proj_merged
+        return ".layers." in k and any(f"{p}.lora_" in k for p in dec_paths)
+
+    extra = sorted(k for k in lora_sd if not consumed(k))
+    if not extra:
+        return
+    shown = ", ".join(extra[:8]) + (" ..." if len(extra) > 8 else "")
+    msg = (
+        f"{len(extra)} unconsumed LoRA adapter key(s): [{shown}] — these "
+        "deltas would be silently dropped. Pass strict=False to downgrade "
+        "this to a warning."
+    )
+    if strict:
+        raise ValueError(msg)
+    from ..core.logging import init_logger
+
+    init_logger(__name__).warning(msg)
+
+
 def load_reward_adaptor(
     pretrain: str,
     pm_path: str,
@@ -232,8 +288,13 @@ def load_reward_adaptor(
     compute_dtype=None,
     quantize: Optional[str] = None,
     quantize_min_size: int = 1 << 20,
+    strict: bool = True,
 ) -> RewardAdaptor:
     """Rebuild the reward model from a base checkpoint dir + reward artifact.
+
+    ``strict``: error on state-dict keys the mapping never consumes (and on
+    artifact/LoRA keys no loader family matches) — strict load_state_dict
+    semantics (reward_adaptor_loader.py:46-63); False downgrades to warnings.
 
     ``compute_dtype``: cast params for the device (e.g. jnp.bfloat16, the
     reference's torch_dtype=torch.bfloat16 at reward_adaptor_loader.py:36).
@@ -250,7 +311,7 @@ def load_reward_adaptor(
     if model_type == "phi3v":
         cfg = phi3v_config_from_pretrain(pretrain)
         cfg = _infer_vision_geometry(cfg, sd)
-        backbone = params_from_hf_state_dict(sd, cfg, dtype=dtype)
+        backbone = params_from_hf_state_dict(sd, cfg, dtype=dtype, strict=strict)
         decoder_cfg = cfg.decoder
         layers_tree = backbone["decoder"]["layers"]
         default_targets = ("qkv_proj", "o_proj", "gate_up_proj", "down_proj")
@@ -259,7 +320,7 @@ def load_reward_adaptor(
         from ..lora.lora import QWEN_TARGETS
 
         cfg = qwen_config_from_pretrain(pretrain)
-        backbone = qwen_params(sd, cfg, dtype=dtype)
+        backbone = qwen_params(sd, cfg, dtype=dtype, strict=strict)
         decoder_cfg = cfg.text
         layers_tree = backbone["text"]["layers"]
         default_targets = QWEN_TARGETS
@@ -268,7 +329,7 @@ def load_reward_adaptor(
         from ..lora.lora import QWEN_TARGETS
 
         cfg = llava_config_from_pretrain(pretrain)
-        backbone = llava_params(sd, cfg, dtype=dtype)
+        backbone = llava_params(sd, cfg, dtype=dtype, strict=strict)
         decoder_cfg = cfg.text
         layers_tree = backbone["text"]["layers"]
         default_targets = QWEN_TARGETS
@@ -320,6 +381,35 @@ def load_reward_adaptor(
         else:
             backbone["text"]["layers"] = merged
 
+        alpha = float(acfg.get("lora_alpha", 1.0))
+        rank = int(acfg.get("r", 1))
+        vision_merged = proj_merged = False
+        if model_type == "phi3v":
+            # unfrozen-vision adapters (reference CLIP targets,
+            # utils/utils.py:205-213): merge into the CLIP tower / projector
+            from ..lora.lora import (
+                merge_vision_lora,
+                vision_peft_state_to_stacked,
+            )
+
+            vlora = vision_peft_state_to_stacked(
+                lora_sd, cfg.vision, alpha=alpha, rank=rank, dtype=dtype
+            )
+            if vlora:
+                backbone["vision"]["clip"] = merge_vision_lora(
+                    backbone["vision"]["clip"], vlora
+                )
+                vision_merged = True
+            proj_merged = _merge_projector_lora(
+                backbone["vision"]["img_projection"], lora_sd, alpha, rank
+            )
+        _check_lora_consumed(
+            lora_sd, targets, vision_merged, proj_merged, strict=strict
+        )
+
+    from ..io.artifact import check_artifact_keys
+
+    check_artifact_keys(pm_path, strict=strict)
     head = load_head_params(pm_path, rcfg, dtype=dtype)
     if ft_projector:
         if model_type == "phi3v":

@@ -35,6 +35,9 @@ def _merge_resize_tabs(a: dict, b: dict) -> dict:
     identity slot_perm — both inert by construction."""
     import jax.numpy as jnp
 
+    from ..ops.pixels import _HALF, PRECISION_BITS
+
+    white_bias = _HALF + (255 << PRECISION_BITS)
     nc = max(a["vidx"].shape[1], b["vidx"].shape[1])
     k_h = max(a["hw"].shape[-1], b["hw"].shape[-1])
     k_v = max(a["vw"].shape[-1], b["vw"].shape[-1])
@@ -48,7 +51,11 @@ def _merge_resize_tabs(a: dict, b: dict) -> dict:
             [(0, 0), (0, dn), (0, 0), (0, k_v - t["vw"].shape[-1])],
         )
         t["vidx"] = jnp.pad(t["vidx"], [(0, 0), (0, dn), (0, 0)])
-        t["vbias"] = jnp.pad(t["vbias"], [(0, 0), (0, dn), (0, 0)])
+        # pad slots render WHITE (zero taps + white bias), matching the
+        # build_hd_resize_tables invariant for every other u8src table
+        t["vbias"] = jnp.pad(
+            t["vbias"], [(0, 0), (0, dn), (0, 0)], constant_values=white_bias
+        )
         t["col_start"] = jnp.pad(t["col_start"], [(0, 0), (0, dn)])
         if dn:
             B = t["slot_perm"].shape[0]
@@ -73,23 +80,56 @@ def _pixel_kind(rb) -> tuple:
     return ("f32",)
 
 
-def _materialize_f32(rb):
-    """Collapse a device-preproc batch (u8 crops or u8 source + tap tables)
-    to the f32 [global, crops...] bank layout ON DEVICE, so a chosen/
-    rejected pair whose sides fell into different preprocessing modes (one
-    hit the extreme-aspect host fallback) can still stack into one forward."""
+_JIT_CACHE: dict = {}
+
+
+def _bank_from_src(pv, t, crop_grid):
     import jax.numpy as jnp
 
     from ..ops.pixels import hd_resize_u8_bank, prepare_pixel_bank
 
+    pv = hd_resize_u8_bank(
+        pv, t["hidx"], t["hw"], t["vidx"], t["vw"], t["vbias"],
+        t["col_start"], t["slot_perm"], t["tflag"],
+    )
+    return prepare_pixel_bank(pv, crop_grid, dtype=jnp.float32)
+
+
+def _bank_from_u8(pv, crop_grid):
+    import jax.numpy as jnp
+
+    from ..ops.pixels import prepare_pixel_bank
+
+    return prepare_pixel_bank(pv, crop_grid, dtype=jnp.float32)
+
+
+def _jit_once(name, fn):
+    import jax
+
+    if name not in _JIT_CACHE:
+        _JIT_CACHE[name] = jax.jit(fn)
+    return _JIT_CACHE[name]
+
+
+def _materialize_f32(rb):
+    """Collapse a device-preproc batch (u8 crops or u8 source + tap tables)
+    to the f32 [global, crops...] bank layout ON DEVICE, so a chosen/
+    rejected pair whose sides fell into different preprocessing modes (one
+    hit the extreme-aspect host fallback) can still stack into one forward.
+    Runs as ONE jitted dispatch — the tunnelled axon backend pays ~30 ms RTT
+    per eager op, which would dominate these fallback batches."""
+    import jax.numpy as jnp
+
     pv = jnp.asarray(rb.pixel_values)
     if rb.resize_tabs is not None:
         t = {k: jnp.asarray(v) for k, v in rb.resize_tabs.items()}
-        pv = hd_resize_u8_bank(
-            pv, t["hidx"], t["hw"], t["vidx"], t["vw"], t["vbias"],
-            t["col_start"], t["slot_perm"], t["tflag"],
+        bank = _jit_once("bank_from_src", _bank_from_src)(
+            pv, t, jnp.asarray(rb.crop_grid)
         )
-    bank = prepare_pixel_bank(pv, jnp.asarray(rb.crop_grid), dtype=jnp.float32)
+    else:
+        bank = _jit_once("bank_from_u8", _bank_from_u8)(
+            pv, jnp.asarray(rb.crop_grid)
+        )
     return rb._replace(pixel_values=bank, resize_tabs=None, crop_grid=None)
 
 
@@ -210,15 +250,24 @@ def batch_rm_inference(
                             a, b = pad4(a), pad4(b)
                         fields[name] = jnp.concatenate([a, b], axis=0)
                 stacked = type(cb)(**fields)
-                r = np.asarray(score(params, stacked))
-                n = len(c_rate)
-                p = preference_prob(
-                    jnp.asarray(r[:n]),
-                    jnp.asarray(r[n:]),
-                    is_general_preference=adaptor.rcfg.is_general_preference,
-                    value_head_dim=adaptor.rcfg.value_head_dim,
-                    tau=adaptor.rcfg.general_preference_tau,
-                )
+                # one jitted dispatch for the split + sigmoid: rewards stay
+                # on device (re-uploading r and running preference_prob
+                # eagerly costs several ~30 ms RTTs per batch on the tunnel)
+                def _pref(r):
+                    n = r.shape[0] // 2
+                    return preference_prob(
+                        r[:n], r[n:],
+                        is_general_preference=adaptor.rcfg.is_general_preference,
+                        value_head_dim=adaptor.rcfg.value_head_dim,
+                        tau=adaptor.rcfg.general_preference_tau,
+                    )
+
+                p = _jit_once(
+                    ("pref", adaptor.rcfg.is_general_preference,
+                     adaptor.rcfg.value_head_dim,
+                     adaptor.rcfg.general_preference_tau),
+                    _pref,
+                )(score(params, stacked))
                 probs.extend(np.asarray(p).tolist())
             else:
                 b, y = batch

@@ -44,6 +44,37 @@ def _t(x: np.ndarray) -> np.ndarray:
     return np.ascontiguousarray(np.asarray(x).T)
 
 
+# substrings the reference's loader re-keys by (reward_adaptor_loader.py:
+# 46-63 heads, :98-110 qwen merger, :143-148 llava projector); any other key
+# in pytorch_model.bin means drift the loader would silently drop
+_ARTIFACT_KEY_FAMILIES = (
+    "value_head", "W_q", "W_k", "W_v", "ca_layernorm", "prompt_head",
+    "img_projection", "merger", "multi_modal_projector",
+)
+
+
+def check_artifact_keys(pm_path: str, *, strict: bool = True) -> list:
+    """Flag pytorch_model.bin keys no loader family matches. Returns them."""
+    sd = load_torch_state_dict(os.path.join(pm_path, "pytorch_model.bin"))
+    extra = sorted(
+        k for k in sd if not any(f in k for f in _ARTIFACT_KEY_FAMILIES)
+    )
+    if not extra:
+        return []
+    shown = ", ".join(extra[:12]) + (" ..." if len(extra) > 12 else "")
+    msg = (
+        f"{len(extra)} unrecognised key(s) in {pm_path}/pytorch_model.bin: "
+        f"[{shown}] — the adaptor loader would silently drop these weights. "
+        "Pass strict=False to downgrade this to a warning."
+    )
+    if strict:
+        raise ValueError(msg)
+    from ..core.logging import init_logger
+
+    init_logger(__name__).warning(msg)
+    return extra
+
+
 def load_head_params(pm_path: str, rcfg: RewardConfig, dtype=np.float32) -> dict:
     """pytorch_model.bin -> head param tree (reward/model.py layout)."""
     sd = load_torch_state_dict(os.path.join(pm_path, "pytorch_model.bin"))

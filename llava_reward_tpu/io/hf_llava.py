@@ -44,9 +44,12 @@ def _normalise_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 
 def params_from_hf_state_dict(
-    sd: Dict[str, np.ndarray], cfg: LlavaNextConfig, dtype=np.float32
+    sd: Dict[str, np.ndarray], cfg: LlavaNextConfig, dtype=np.float32,
+    strict: bool = True,
 ) -> dict:
-    sd = _normalise_keys(sd)
+    from .torch_io import TrackedStateDict, check_fully_consumed
+
+    sd = TrackedStateDict(_normalise_keys(sd))
     tc, vc = cfg.text, cfg.vision
 
     def get(k):
@@ -152,4 +155,5 @@ def params_from_hf_state_dict(
     }
     if "lm_head.weight" in sd:
         tree["lm_head"] = _t(get("lm_head.weight"))
+    check_fully_consumed(sd, strict=strict, what="llava base checkpoint")
     return tree

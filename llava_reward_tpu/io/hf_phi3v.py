@@ -40,10 +40,16 @@ def _t(x: np.ndarray) -> np.ndarray:
 
 
 def params_from_hf_state_dict(
-    sd: Dict[str, np.ndarray], cfg: Phi3VConfig, dtype=np.float32
+    sd: Dict[str, np.ndarray], cfg: Phi3VConfig, dtype=np.float32,
+    strict: bool = True,
 ) -> dict:
     """Build the phi3v param tree (models/phi3v.py layout) from an HF state
-    dict. Raises KeyError on missing weights."""
+    dict. Missing weights raise KeyError with context; keys the mapping never
+    reads raise ValueError unless ``strict=False`` (then they log a warning) —
+    mirroring strict load_state_dict (eval/reward_adaptor_loader.py:46-63)."""
+    from .torch_io import TrackedStateDict, check_fully_consumed
+
+    sd = TrackedStateDict(sd)
     L = cfg.decoder.num_layers
     VL = cfg.vision.num_layers
 
@@ -143,6 +149,7 @@ def params_from_hf_state_dict(
     tree = {"decoder": decoder, "vision": vision}
     if "lm_head.weight" in sd:
         tree["lm_head"] = _t(get("lm_head.weight"))
+    check_fully_consumed(sd, strict=strict, what="phi3v base checkpoint")
     return tree
 
 

@@ -41,9 +41,12 @@ def _normalise_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 
 def params_from_hf_state_dict(
-    sd: Dict[str, np.ndarray], cfg: Qwen25VLConfig, dtype=np.float32
+    sd: Dict[str, np.ndarray], cfg: Qwen25VLConfig, dtype=np.float32,
+    strict: bool = True,
 ) -> dict:
-    sd = _normalise_keys(sd)
+    from .torch_io import TrackedStateDict, check_fully_consumed
+
+    sd = TrackedStateDict(_normalise_keys(sd))
     vc, tc = cfg.vision, cfg.text
 
     def get(k):
@@ -130,4 +133,5 @@ def params_from_hf_state_dict(
     tree = {"visual": visual, "text": text}
     if "lm_head.weight" in sd:
         tree["lm_head"] = _t(get("lm_head.weight"))
+    check_fully_consumed(sd, strict=strict, what="qwen base checkpoint")
     return tree

@@ -14,6 +14,69 @@ from typing import Dict, Iterable, Optional
 import numpy as np
 
 
+class TrackedStateDict(dict):
+    """State dict that records reads, so loaders can report unconsumed keys.
+
+    The reference relies on torch's strict ``load_state_dict`` semantics
+    (eval/reward_adaptor_loader.py:46-63); in zero-egress environments the
+    first real-weights load must be a diagnosis, not a silent numerics bug —
+    a missing key raises with context, and ``check_fully_consumed`` flags
+    keys the loader never read."""
+
+    def __init__(self, sd):
+        super().__init__(sd)
+        self.consumed: set = set()
+
+    def __getitem__(self, k):
+        try:
+            v = super().__getitem__(k)
+        except KeyError:
+            raise KeyError(
+                f"state dict is missing required key {k!r} (checkpoint/config "
+                "mismatch: verify the base checkpoint matches the model config)"
+            ) from None
+        self.consumed.add(k)
+        return v
+
+
+# buffers some transformers versions persist but no loader consumes
+_IGNORE_PATTERNS = (
+    r"\.rotary_emb\.inv_freq$",
+    r"\.position_ids$",
+    r"\.masked_bias$",
+)
+
+
+def check_fully_consumed(sd, *, strict: bool = True, what: str = "checkpoint",
+                         ignore: tuple = ()) -> list:
+    """Report state-dict keys the loader never read (key drift silently drops
+    weights). ``strict=True`` raises; otherwise logs a warning. Returns the
+    unconsumed keys."""
+    import re
+
+    if not isinstance(sd, TrackedStateDict):
+        return []
+    pats = [re.compile(p) for p in _IGNORE_PATTERNS + tuple(ignore)]
+    extra = sorted(
+        k for k in sd
+        if k not in sd.consumed and not any(p.search(k) for p in pats)
+    )
+    if not extra:
+        return []
+    shown = ", ".join(extra[:12]) + (" ..." if len(extra) > 12 else "")
+    msg = (
+        f"{len(extra)} unconsumed key(s) loading {what}: [{shown}] — these "
+        "weights would be silently dropped. Pass strict=False to downgrade "
+        "this to a warning."
+    )
+    if strict:
+        raise ValueError(msg)
+    from ..core.logging import init_logger
+
+    init_logger(__name__).warning(msg)
+    return extra
+
+
 def _to_numpy(t) -> np.ndarray:
     import torch
 

@@ -197,6 +197,101 @@ def stacked_to_peft_state(
     return sd
 
 
+# CLIP tower PEFT paths (the reference's unfrozen-vision targets,
+# create_lora_config utils/utils.py:205-213: q/k/v/out_proj + fc1/fc2 inside
+# model.vision_embed_tokens.img_processor.vision_model.encoder.layers.{i})
+_VISION_PEFT_PATH = {
+    "q": "self_attn.q_proj",
+    "k": "self_attn.k_proj",
+    "v": "self_attn.v_proj",
+    "out": "self_attn.out_proj",
+    "fc1": "mlp.fc1",
+    "fc2": "mlp.fc2",
+}
+_VISION_PEFT_PREFIX = (
+    "vision_embed_tokens.img_processor.vision_model.encoder.layers"
+)
+
+
+def vision_stacked_to_peft_state(vlora: dict, vcfg) -> Dict[str, np.ndarray]:
+    """Stacked CLIP LoRA tree -> PEFT adapter_model keys, so the reference's
+    model.load_adapter consumes our vision adapters (utils/utils.py:205-213)."""
+    sd: Dict[str, np.ndarray] = {}
+    for name, t in vlora.items():
+        path = _VISION_PEFT_PATH[name]
+        a = np.asarray(t["a"])  # (L, in, r)
+        b = np.asarray(t["b"])  # (L, r, out)
+        for i in range(a.shape[0]):
+            prefix = f"base_model.model.model.{_VISION_PEFT_PREFIX}.{i}.{path}"
+            sd[f"{prefix}.lora_A.weight"] = np.ascontiguousarray(a[i].T)
+            sd[f"{prefix}.lora_B.weight"] = np.ascontiguousarray(b[i].T)
+    return sd
+
+
+def vision_peft_state_to_stacked(
+    sd: Dict[str, np.ndarray],
+    vcfg,
+    alpha: float,
+    rank: int,
+    dtype=np.float32,
+) -> dict:
+    """PEFT adapter keys on the CLIP tower -> stacked vision-LoRA tree.
+    Returns {} when the adapter has no vision keys."""
+    present = [
+        name for name, path in _VISION_PEFT_PATH.items()
+        if any(
+            _VISION_PEFT_PREFIX in k and f"{path}.lora_A" in k for k in sd
+        )
+    ]
+    if not present:
+        return {}
+
+    def find(i, path, ab):
+        suffixes = [
+            f"{_VISION_PEFT_PREFIX}.{i}.{path}.lora_{ab}.weight",
+            f"{_VISION_PEFT_PREFIX}.{i}.{path}.lora_{ab}.default.weight",
+        ]
+        for k, v in sd.items():
+            for s in suffixes:
+                if k.endswith(s):
+                    return v
+        raise KeyError(f"missing vision lora weight for layer {i} {path} {ab}")
+
+    tree = {}
+    for name in present:
+        path = _VISION_PEFT_PATH[name]
+        a = np.stack(
+            [find(i, path, "A").astype(dtype).T for i in range(vcfg.num_layers)]
+        )
+        b = np.stack(
+            [find(i, path, "B").astype(dtype).T for i in range(vcfg.num_layers)]
+        )
+        tree[name] = {
+            "a": a,
+            "b": b,
+            "scale": np.full((vcfg.num_layers,), alpha / rank, dtype),
+        }
+    return tree
+
+
+def merge_vision_lora(clip_params: dict, vlora: dict) -> dict:
+    """Fold stacked CLIP LoRA into the clip param tree (models/clip_vit.py
+    layout: layers.attn.{q,k,v,out}.kernel, layers.mlp.{fc1,fc2}.kernel)."""
+    import copy
+
+    clip = copy.deepcopy(clip_params)
+    lay = clip["layers"]
+    for name, t in vlora.items():
+        delta = jnp.einsum(
+            "lir,lro->lio", jnp.asarray(t["a"]), jnp.asarray(t["b"])
+        ) * jnp.asarray(t["scale"])[:, None, None]
+        sub = lay["attn"][name] if name in ("q", "k", "v", "out") else lay["mlp"][name]
+        sub["kernel"] = np.asarray(
+            jnp.asarray(sub["kernel"]) + delta.astype(jnp.asarray(sub["kernel"]).dtype)
+        )
+    return clip
+
+
 def peft_adapter_config(
     rank: int, alpha: float, dropout: float, targets: Sequence[str] = DEFAULT_TARGETS
 ) -> dict:

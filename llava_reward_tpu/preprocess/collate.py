@@ -61,7 +61,9 @@ def collate_samples(
             if s.pixel_values is not None or getattr(s, "src_u8", None) is not None
         ]
         if n_src == len(img_like):
-            return _collate_u8src(samples, seq_len, pad_token_id, img_token_budget)
+            return _collate_u8src(
+                samples, seq_len, pad_token_id, img_token_budget, crop_buckets
+            )
         # mixed (rare: some images fell back to host paths): host-resize the
         # device-resize samples — bit-identical, the device op matches PIL
         from .phi3v_processor import sample_from_src
@@ -250,12 +252,18 @@ def _collate_u8src(
     seq_len: int,
     pad_token_id: int,
     img_token_budget: Optional[int] = None,
+    crop_buckets: Optional[Sequence[int]] = CROP_BUCKETS,
 ) -> "Batch":
     """Device-RESIZE collation (LRT_DEVICE_RESIZE=1): the batch carries the
     decoded uint8 originals (landscape-oriented, padded into a static square
     bucket) + per-sample bilinear tap tables; HD resize, white-pad, crop
     split, normalisation and the global bicubic ALL run on device
-    (ops/pixels.hd_resize_u8_bank + prepare_pixel_bank)."""
+    (ops/pixels.hd_resize_u8_bank + prepare_pixel_bank).
+
+    ``crop_buckets=None`` means "stable shapes across requests" (server
+    path, evalx/server.py): pin the crop bank, SRC bucket and tap count to
+    their maxima so every request compiles ONE program per batch size,
+    mirroring the f32/_collate_u8 contract."""
     from ..ops.pixels import build_hd_resize_tables, taps_for_bucket
     from .phi3v_processor import build_img_gather_idx
 
@@ -271,10 +279,16 @@ def _collate_u8src(
         else max(s.img_gather_idx.shape[0] for s in img_samples)
     )
     real = max(s.crop_grid[0] * s.crop_grid[1] for s in img_samples)
-    nc = min((b for b in U8_CROP_BUCKETS if b >= real), default=real)
-
     edge = max(max(s.src_u8.shape[:2]) for s in img_samples)
-    bucket = min((b for b in SRC_BUCKETS if b >= edge), default=edge)
+    if crop_buckets:
+        # f32 buckets count [global]+crops; the u8 bank holds crops only
+        buckets = tuple(sorted(b - 1 for b in crop_buckets))
+        nc = min((b for b in buckets if b >= real), default=real)
+        bucket = min((b for b in SRC_BUCKETS if b >= edge), default=edge)
+    else:
+        # stable-shapes contract: max bucket everywhere -> one program
+        nc = max(max(U8_CROP_BUCKETS), real)
+        bucket = max(max(SRC_BUCKETS), edge)
     k = taps_for_bucket(bucket)
 
     src = np.zeros((B, bucket, bucket, 3), dtype=np.uint8)

@@ -305,6 +305,25 @@ class RewardTrainer:
                 lora_config = peft_adapter_config(
                     self.lora_rank, self.lora_alpha, self.lora_dropout
                 )
+        if trainable.get("vision_lora") is not None:
+            # unfrozen-vision CLIP adapters ride in the same PEFT file (the
+            # reference's create_lora_config CLIP targets, utils.py:205-213)
+            from ..lora.lora import vision_stacked_to_peft_state
+
+            if lora_state is None:
+                lora_state = {}
+                lora_config = peft_adapter_config(
+                    self.lora_rank, self.lora_alpha, self.lora_dropout,
+                    targets=(),
+                )
+            lora_state.update(
+                vision_stacked_to_peft_state(
+                    trainable["vision_lora"], self.cfg.vision
+                )
+            )
+            lora_config["target_modules"] = list(
+                lora_config.get("target_modules", [])
+            ) + ["q_proj", "k_proj", "v_proj", "out_proj", "fc1", "fc2"]
         save_reward_artifact(
             path,
             self.rcfg,
