@@ -181,25 +181,30 @@ def metric_fwd(quant: bool):
 
     tiny = os.environ.get("BENCH_TINY") == "1"
     pairs = int(os.environ.get("BENCH_BATCH", "2" if tiny else "4"))
-    steps = int(os.environ.get("BENCH_STEPS", "2" if tiny else "8"))
+    steps = int(os.environ.get("BENCH_STEPS", "2" if tiny else "5"))
     seq = int(os.environ.get("BENCH_SEQ", "384" if tiny else "2560"))
 
     cfg = phi3v_tiny_config(num_crops=4) if tiny else phi35_vision_config()
     rcfg = RewardConfig(is_general_preference=True, value_head_dim=2,
                         add_cross_attention=True, layer_id=cfg.decoder.num_layers)
     _phase("imports")
-    params = {
-        "backbone": phi3v.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16),
-        "head": init_head_params(jax.random.PRNGKey(1), cfg, rcfg, dtype=jnp.bfloat16),
-    }
+    # ONE jitted init program: eager per-leaf PRNG pays ~0.5s of tunnel RTT
+    # per dispatch (measured: 27-37s for the eager tree)
+    init = jax.jit(lambda k: {
+        "backbone": phi3v.init_params(
+            jax.random.fold_in(k, 0), cfg, dtype=jnp.bfloat16),
+        "head": init_head_params(
+            jax.random.fold_in(k, 1), cfg, rcfg, dtype=jnp.bfloat16),
+    })
+    params = init(jax.random.PRNGKey(0))
     _phase("param init")
     if quant:
         # decoder only: int8 loses at CLIP K~1024 shapes (PERF.md round 3)
         params["backbone"]["decoder"]["layers"] = _to_w8a8_device(
             params["backbone"]["decoder"]["layers"], min_size=0 if tiny else 1 << 20
         )
+        _phase("quantize")
 
-    rng = np.random.default_rng(0)
     B = pairs * 2
     nc = cfg.num_crops
     hc = wc = min(4, int(np.sqrt(nc)))
@@ -212,24 +217,30 @@ def metric_fwd(quant: bool):
     splice[:, 1 : 1 + n_img] = np.arange(n_img)
     crop = cfg.vision.image_size
 
-    def mk(seed):
-        r = np.random.default_rng(seed)
+    # batches are generated ON DEVICE (the tunnel moves ~30 MB/s; uploading
+    # 9 x 46 MB pixel banks measured 73s of the old per-metric wall time)
+    gidx_t = jnp.asarray(np.tile(gidx[None], (B, 1)))
+    splice_t = jnp.asarray(splice)
+    mask_t = jnp.asarray(np.ones((B, seq), np.int32))
+    nimg_t = jnp.full((B,), n_img, np.int32)
+
+    @jax.jit
+    def mk(k):
+        k1, k2 = jax.random.split(k)
         return RewardBatch(
-            input_ids=jnp.asarray(
-                r.integers(2, cfg.decoder.vocab_size - 2, (B, seq)).astype(np.int32)),
-            attention_mask=jnp.asarray(np.ones((B, seq), np.int32)),
-            pixel_values=jnp.asarray(
-                (r.standard_normal((B, nc + 1, crop, crop, 3)) * 0.5).astype(np.float32)),
-            img_gather_idx=jnp.asarray(np.tile(gidx[None], (B, 1))),
-            splice_idx=jnp.asarray(splice),
-            num_img_tokens=jnp.full((B,), n_img, np.int32),
+            input_ids=jax.random.randint(
+                k1, (B, seq), 2, cfg.decoder.vocab_size - 2, jnp.int32),
+            attention_mask=mask_t,
+            pixel_values=jax.random.uniform(
+                k2, (B, nc + 1, crop, crop, 3), jnp.float32) - 0.5,
+            img_gather_idx=gidx_t,
+            splice_idx=splice_t,
+            num_img_tokens=nimg_t,
         )
 
-    if quant:
-        _phase("quantize")
-    batches = [mk(10 + i) for i in range(steps)]
-    warm = mk(0)
-    _phase("batch build+upload")
+    batches = [mk(jax.random.PRNGKey(10 + i)) for i in range(steps)]
+    warm = mk(jax.random.PRNGKey(0))
+    _phase("batch build (on device)")
     fwd = jax.jit(lambda p, b: reward_forward(p, cfg, rcfg, b, training=False).reward)
     med = _timed_steps(fwd, params, batches, warm)
     emit("fwd_int8" if quant else "fwd_bf16", pairs / med)
@@ -250,7 +261,7 @@ def metric_qwen_int8():
     from llava_reward_tpu.reward.model import RewardBatch, reward_forward
 
     pairs = int(os.environ.get("BENCH_BATCH", "4"))
-    steps = int(os.environ.get("BENCH_STEPS", "6"))
+    steps = int(os.environ.get("BENCH_STEPS", "4"))
     seq = int(os.environ.get("BENCH_SEQ", "1792"))
 
     cfg = qwen25_vl_7b_config()
@@ -260,30 +271,45 @@ def metric_qwen_int8():
 
     # int8 decoder built directly (7.6B bf16 = 15.2 GB would not fit HBM
     # next to anything else; int8 = 7.6 GB). Non-matmul leaves bf16.
+    # Built in ONE jit: eager per-leaf PRNG pays ~0.5s tunnel RTT per op.
     L, H, I = tc.num_layers, tc.hidden_size, tc.intermediate_size
-    layers = _w8a8_random_layers({
+    shapes = {
         "q_proj": (L, H, tc.q_size), "k_proj": (L, H, tc.kv_size),
         "v_proj": (L, H, tc.kv_size), "o_proj": (L, tc.q_size, H),
         "gate_proj": (L, H, I), "up_proj": (L, H, I), "down_proj": (L, I, H),
-    })
-    for name in ("q_proj", "k_proj", "v_proj"):
-        layers[name] = {"kernel": layers[name],
-                        "bias": jnp.zeros((L, layers[name]["qvalues_w8a8"].shape[-1]), jnp.bfloat16)}
-    for name in ("o_proj", "gate_proj", "up_proj", "down_proj"):
-        layers[name] = {"kernel": layers[name]}
-    layers["input_layernorm"] = jnp.ones((L, H), jnp.bfloat16)
-    layers["post_attention_layernorm"] = jnp.ones((L, H), jnp.bfloat16)
-    text = {
-        "embed_tokens": jax.random.normal(
-            jax.random.PRNGKey(1), (tc.vocab_size, H), jnp.bfloat16) * 0.02,
-        "layers": layers,
-        "final_layernorm": jnp.ones((H,), jnp.bfloat16),
     }
-    visual = qwen25_vl.init_vision_params(jax.random.PRNGKey(2), vc, jnp.bfloat16)
-    params = {
-        "backbone": {"text": text, "visual": visual},
-        "head": init_head_params(jax.random.PRNGKey(3), cfg, rcfg, dtype=jnp.bfloat16),
-    }
+
+    def build(k):
+        layers = {}
+        for i, (name, shape) in enumerate(shapes.items()):
+            sub = {
+                "qvalues_w8a8": _random_i8(jax.random.fold_in(k, i), shape),
+                "scale": jnp.full((shape[0], 1, shape[-1]), 0.02 / 127.0,
+                                  jnp.float32),
+            }
+            layers[name] = {"kernel": sub}
+            if name in ("q_proj", "k_proj", "v_proj"):
+                layers[name]["bias"] = jnp.zeros((L, shape[-1]), jnp.bfloat16)
+        layers["input_layernorm"] = jnp.ones((L, H), jnp.bfloat16)
+        layers["post_attention_layernorm"] = jnp.ones((L, H), jnp.bfloat16)
+        text = {
+            "embed_tokens": jax.random.normal(
+                jax.random.fold_in(k, 100), (tc.vocab_size, H), jnp.bfloat16
+            ) * 0.02,
+            "layers": layers,
+            "final_layernorm": jnp.ones((H,), jnp.bfloat16),
+        }
+        return {
+            "backbone": {
+                "text": text,
+                "visual": qwen25_vl.init_vision_params(
+                    jax.random.fold_in(k, 101), vc, jnp.bfloat16),
+            },
+            "head": init_head_params(
+                jax.random.fold_in(k, 102), cfg, rcfg, dtype=jnp.bfloat16),
+        }
+
+    params = jax.jit(build)(jax.random.PRNGKey(0))
     _phase("param init")
 
     # one 1280-patch image per seq (HF default max_pixels budget):
@@ -299,27 +325,35 @@ def metric_qwen_int8():
     splice[:, 1 : 1 + n_units] = np.arange(n_units)
     pos = np.tile(np.arange(seq, dtype=np.int32)[None, None], (3, B, 1))
 
-    def mk(seed):
-        r = np.random.default_rng(seed)
+    splice_t = jnp.asarray(splice)
+    mask_t = jnp.asarray(np.ones((B, seq), np.int32))
+    pos_t = jnp.asarray(pos)
+    pv_t = jnp.asarray(np.tile(patch_valid[None], (B, 1)).astype(np.int32))
+    rot_t = jnp.asarray(np.tile(rot[None], (B, 1, 1)))
+    ug_t = jnp.asarray(np.tile(unit_gather[None], (B, 1)))
+    nimg_t = jnp.full((B,), n_units, np.int32)
+
+    @jax.jit
+    def mk(k):
+        k1, k2 = jax.random.split(k)
         return RewardBatch(
-            input_ids=jnp.asarray(
-                r.integers(2, 1000, (B, seq)).astype(np.int32)),
-            attention_mask=jnp.asarray(np.ones((B, seq), np.int32)),
-            pixel_values=jnp.asarray(
-                (r.standard_normal((B, P, vc.patch_dim)) * 0.5).astype(np.float32)
+            input_ids=jax.random.randint(k1, (B, seq), 2, 1000, jnp.int32),
+            attention_mask=mask_t,
+            pixel_values=(
+                jax.random.uniform(k2, (B, P, vc.patch_dim), jnp.float32) - 0.5
             ).astype(jnp.bfloat16),
             img_gather_idx=None,
-            splice_idx=jnp.asarray(splice),
-            num_img_tokens=jnp.full((B,), n_units, np.int32),
-            position_ids=jnp.asarray(pos),
-            patch_valid=jnp.asarray(np.tile(patch_valid[None], (B, 1)).astype(np.int32)),
-            rot_pos=jnp.asarray(np.tile(rot[None], (B, 1, 1))),
-            unit_gather=jnp.asarray(np.tile(unit_gather[None], (B, 1))),
+            splice_idx=splice_t,
+            num_img_tokens=nimg_t,
+            position_ids=pos_t,
+            patch_valid=pv_t,
+            rot_pos=rot_t,
+            unit_gather=ug_t,
         )
 
-    batches = [mk(10 + i) for i in range(steps)]
-    warm = mk(0)
-    _phase("batch build+upload")
+    batches = [mk(jax.random.PRNGKey(10 + i)) for i in range(steps)]
+    warm = mk(jax.random.PRNGKey(0))
+    _phase("batch build (on device)")
     fwd = jax.jit(lambda p, b: reward_forward(p, cfg, rcfg, b, training=False).reward)
     med = _timed_steps(fwd, params, batches, warm)
     emit("qwen_int8", pairs / med, extra={
@@ -340,7 +374,7 @@ def metric_llava_int8():
     from llava_reward_tpu.reward.model import RewardBatch, reward_forward
 
     pairs = int(os.environ.get("BENCH_BATCH", "1"))
-    steps = int(os.environ.get("BENCH_STEPS", "5"))
+    steps = int(os.environ.get("BENCH_STEPS", "3"))
     seq = int(os.environ.get("BENCH_SEQ", "2976"))
 
     cfg = LlavaNextConfig()  # TRUE llava-v1.6-vicuna-13b geometry
@@ -354,68 +388,91 @@ def metric_llava_int8():
     # FLOPs) stay W8A8 on the 394-TOPS path; the attention projections go
     # int4 weight-only (dequantized per layer before a bf16 matmul) ->
     # ~10.8 GB total, full 40 layers resident.
-    layers = _w8a8_random_layers({
+    mlp_shapes = {
         "gate_proj": (L, H, I), "up_proj": (L, H, I), "down_proj": (L, I, H),
-    })
-    key = jax.random.PRNGKey(9)
-    for name, shape in {
+    }
+    attn_shapes = {
         "q_proj": (L, H, tc.q_size), "k_proj": (L, H, tc.kv_size),
         "v_proj": (L, H, tc.kv_size), "o_proj": (L, tc.q_size, H),
-    }.items():
-        key, k = jax.random.split(key)
-        layers[name] = {
-            "qvalues_i4": jax.jit(_random_i8, static_argnums=1)(
-                k, (shape[0], shape[1] // 2, shape[2])),
-            "scale": jnp.full((shape[0], 1, shape[2]), 0.02 / 7.0, jnp.float32),
-        }
-    layers = {k: {"kernel": v} for k, v in layers.items()}
-    layers["input_layernorm"] = jnp.ones((L, H), jnp.bfloat16)
-    layers["post_attention_layernorm"] = jnp.ones((L, H), jnp.bfloat16)
-    text = {
-        "embed_tokens": jax.random.normal(
-            jax.random.PRNGKey(1), (tc.vocab_size, H), jnp.bfloat16) * 0.02,
-        "layers": layers,
-        "final_layernorm": jnp.ones((H,), jnp.bfloat16),
     }
     VH = cfg.vision.hidden_size
-    vision = {
-        "clip": clip_vit.init_params(jax.random.PRNGKey(2), cfg.vision, jnp.bfloat16),
-        "projector": {
-            "fc1": {"kernel": jax.random.normal(jax.random.PRNGKey(3), (VH, H), jnp.bfloat16) * 0.02,
-                    "bias": jnp.zeros((H,), jnp.bfloat16)},
-            "fc2": {"kernel": jax.random.normal(jax.random.PRNGKey(4), (H, H), jnp.bfloat16) * 0.02,
-                    "bias": jnp.zeros((H,), jnp.bfloat16)},
-        },
-        "image_newline": jnp.zeros((H,), jnp.bfloat16),
-    }
-    params = {
-        "backbone": {"text": text, "vision": vision},
-        "head": init_head_params(jax.random.PRNGKey(5), cfg, rcfg, dtype=jnp.bfloat16),
-    }
+
+    def build(key):
+        layers = {}
+        for i, (name, shape) in enumerate(mlp_shapes.items()):
+            layers[name] = {
+                "qvalues_w8a8": _random_i8(jax.random.fold_in(key, i), shape),
+                "scale": jnp.full((shape[0], 1, shape[-1]), 0.02 / 127.0,
+                                  jnp.float32),
+            }
+        for i, (name, shape) in enumerate(attn_shapes.items()):
+            layers[name] = {
+                "qvalues_i4": _random_i8(
+                    jax.random.fold_in(key, 10 + i),
+                    (shape[0], shape[1] // 2, shape[2])),
+                "scale": jnp.full((shape[0], 1, shape[2]), 0.02 / 7.0,
+                                  jnp.float32),
+            }
+        layers = {k: {"kernel": v} for k, v in layers.items()}
+        layers["input_layernorm"] = jnp.ones((L, H), jnp.bfloat16)
+        layers["post_attention_layernorm"] = jnp.ones((L, H), jnp.bfloat16)
+        text = {
+            "embed_tokens": jax.random.normal(
+                jax.random.fold_in(key, 100), (tc.vocab_size, H), jnp.bfloat16
+            ) * 0.02,
+            "layers": layers,
+            "final_layernorm": jnp.ones((H,), jnp.bfloat16),
+        }
+        vision = {
+            "clip": clip_vit.init_params(
+                jax.random.fold_in(key, 101), cfg.vision, jnp.bfloat16),
+            "projector": {
+                "fc1": {"kernel": jax.random.normal(
+                            jax.random.fold_in(key, 102), (VH, H), jnp.bfloat16
+                        ) * 0.02,
+                        "bias": jnp.zeros((H,), jnp.bfloat16)},
+                "fc2": {"kernel": jax.random.normal(
+                            jax.random.fold_in(key, 103), (H, H), jnp.bfloat16
+                        ) * 0.02,
+                        "bias": jnp.zeros((H,), jnp.bfloat16)},
+            },
+            "image_newline": jnp.zeros((H,), jnp.bfloat16),
+        }
+        return {
+            "backbone": {"text": text, "vision": vision},
+            "head": init_head_params(
+                jax.random.fold_in(key, 104), cfg, rcfg, dtype=jnp.bfloat16),
+        }
+
+    params = jax.jit(build)(jax.random.PRNGKey(9))
     _phase("param init")
 
     # 672x672 anyres (the square max): 2x2 tiles + base, 2928 image tokens
     gidx, n_img = build_anyres_gather_idx(672, 672, budget=2928)
-    rng = np.random.default_rng(0)
     B = pairs * 2
     splice = np.full((B, seq), -1, np.int32)
     splice[:, 1 : 1 + n_img] = np.arange(n_img)
+    gidx_t = jnp.asarray(np.tile(gidx[None], (B, 1)))
+    splice_t = jnp.asarray(splice)
+    mask_t = jnp.asarray(np.ones((B, seq), np.int32))
+    nimg_t = jnp.full((B,), n_img, np.int32)
 
-    def mk(seed):
-        r = np.random.default_rng(seed)
+    @jax.jit
+    def mk(k):
+        k1, k2 = jax.random.split(k)
         return RewardBatch(
-            input_ids=jnp.asarray(r.integers(2, 1000, (B, seq)).astype(np.int32)),
-            attention_mask=jnp.asarray(np.ones((B, seq), np.int32)),
-            pixel_values=jnp.asarray(
-                (r.standard_normal((B, 5, 336, 336, 3)) * 0.5).astype(np.float32)),
-            img_gather_idx=jnp.asarray(np.tile(gidx[None], (B, 1))),
-            splice_idx=jnp.asarray(splice),
-            num_img_tokens=jnp.full((B,), n_img, np.int32),
+            input_ids=jax.random.randint(k1, (B, seq), 2, 1000, jnp.int32),
+            attention_mask=mask_t,
+            pixel_values=jax.random.uniform(
+                k2, (B, 5, 336, 336, 3), jnp.float32) - 0.5,
+            img_gather_idx=gidx_t,
+            splice_idx=splice_t,
+            num_img_tokens=nimg_t,
         )
 
-    batches = [mk(10 + i) for i in range(steps)]
-    warm = mk(0)
-    _phase("batch build+upload")
+    batches = [mk(jax.random.PRNGKey(10 + i)) for i in range(steps)]
+    warm = mk(jax.random.PRNGKey(0))
+    _phase("batch build (on device)")
     fwd = jax.jit(lambda p, b: reward_forward(p, cfg, rcfg, b, training=False).reward)
     med = _timed_steps(fwd, params, batches, warm)
     emit("llava_int8", pairs / med, extra={
@@ -441,40 +498,49 @@ def metric_train():
     )
 
     pairs = int(os.environ.get("BENCH_BATCH", "1"))
-    steps = int(os.environ.get("BENCH_STEPS", "4"))
+    steps = int(os.environ.get("BENCH_STEPS", "3"))
     seq = int(os.environ.get("BENCH_SEQ", "2560"))
 
     cfg = phi35_vision_config()
     rcfg = RewardConfig(is_general_preference=True, value_head_dim=2,
                         add_cross_attention=True, layer_id=cfg.decoder.num_layers)
-    frozen = {"backbone": phi3v.init_params(jax.random.PRNGKey(0), cfg, dtype=jnp.bfloat16)}
-    trainable = {
-        "head": init_head_params(jax.random.PRNGKey(1), cfg, rcfg, dtype=jnp.float32),
-        "lora": init_lora(jax.random.PRNGKey(2), cfg.decoder, 128, 256),
-        "projector": None,
-    }
+    init = jax.jit(lambda k: (
+        {"backbone": phi3v.init_params(
+            jax.random.fold_in(k, 0), cfg, dtype=jnp.bfloat16)},
+        {
+            "head": init_head_params(
+                jax.random.fold_in(k, 1), cfg, rcfg, dtype=jnp.float32),
+            "lora": init_lora(jax.random.fold_in(k, 2), cfg.decoder, 128, 256),
+            "projector": None,
+        },
+    ))
+    frozen, trainable = init(jax.random.PRNGKey(0))
     B = pairs
-    rng = np.random.default_rng(0)
     nc = cfg.num_crops
     hc = wc = 4
     n_img = (hc * wc + 1) * 144 + 1 + (hc + 1) * 12
     gidx = build_img_gather_idx(hc, wc, nc, budget=n_img)
     crop = cfg.vision.image_size
+    splice = np.full((B, seq), -1, np.int32)
+    splice[:, 1 : 1 + n_img] = np.arange(n_img)
+    gidx_t = jnp.asarray(np.tile(gidx[None], (B, 1)))
+    splice_t = jnp.asarray(splice)
+    mask_t = jnp.asarray(np.ones((B, seq), np.int32))
+    nimg_t = jnp.full((B,), n_img, np.int32)
 
-    def mk(seed):
-        r = np.random.default_rng(seed)
-        splice = np.full((B, seq), -1, np.int32)
-        splice[:, 1 : 1 + n_img] = np.arange(n_img)
+    @jax.jit
+    def mk(k):
+        k1, k2 = jax.random.split(k)
         return RewardBatch(
-            input_ids=jnp.asarray(
-                r.integers(2, cfg.decoder.vocab_size - 2, (B, seq)).astype(np.int32)),
-            attention_mask=jnp.asarray(np.ones((B, seq), np.int32)),
-            pixel_values=jnp.asarray(
-                (r.standard_normal((B, nc + 1, crop, crop, 3)) * 0.5).astype(np.float32)
+            input_ids=jax.random.randint(
+                k1, (B, seq), 2, cfg.decoder.vocab_size - 2, jnp.int32),
+            attention_mask=mask_t,
+            pixel_values=(jax.random.uniform(
+                k2, (B, nc + 1, crop, crop, 3), jnp.float32) - 0.5
             ).astype(jnp.bfloat16),
-            img_gather_idx=jnp.asarray(np.tile(gidx[None], (B, 1))),
-            splice_idx=jnp.asarray(splice),
-            num_img_tokens=jnp.full((B,), n_img, np.int32),
+            img_gather_idx=gidx_t,
+            splice_idx=splice_t,
+            num_img_tokens=nimg_t,
         )
 
     _phase("param init")
@@ -482,12 +548,12 @@ def metric_train():
     loss_fn = make_pairwise_loss_fn(cfg, rcfg, attn_impl="auto", remat=True)
     step = jax.jit(make_train_step(loss_fn, tx))
     st = init_train_state(trainable, tx)
-    st, m = step(st, frozen, mk(1), mk(2))
+    st, m = step(st, frozen, mk(jax.random.PRNGKey(1)), mk(jax.random.PRNGKey(2)))
     float(np.asarray(m["preference_loss"]))  # barrier
     _phase("warmup compile+settle")
     times = []
     for i in range(steps):
-        b1, b2 = mk(10 + i), mk(20 + i)
+        b1, b2 = mk(jax.random.PRNGKey(10 + i)), mk(jax.random.PRNGKey(20 + i))
         t0 = time.perf_counter()
         st, m = step(st, frozen, b1, b2)
         float(np.asarray(m["preference_loss"]))
@@ -515,7 +581,7 @@ def metric_e2e():
 
     tiny = os.environ.get("BENCH_TINY") == "1"
     pairs = int(os.environ.get("BENCH_BATCH", "2" if tiny else "4"))
-    n_pairs = int(os.environ.get("BENCH_SAMPLES", "8" if tiny else "32"))
+    n_pairs = int(os.environ.get("BENCH_SAMPLES", "8" if tiny else "16"))
     seq = int(os.environ.get("BENCH_SEQ", "512" if tiny else "2944"))
 
     cfg = phi3v_tiny_config(num_crops=4) if tiny else phi35_vision_config()
@@ -524,10 +590,12 @@ def metric_e2e():
         layer_id=cfg.decoder.num_layers,
     )
     dtype = jnp.float32 if tiny else jnp.bfloat16
-    params = {
-        "backbone": phi3v.init_params(jax.random.PRNGKey(0), cfg, dtype=dtype),
-        "head": init_head_params(jax.random.PRNGKey(1), cfg, rcfg, dtype=dtype),
-    }
+    init = jax.jit(lambda k: {
+        "backbone": phi3v.init_params(jax.random.fold_in(k, 0), cfg, dtype=dtype),
+        "head": init_head_params(jax.random.fold_in(k, 1), cfg, rcfg, dtype=dtype),
+    })
+    params = init(jax.random.PRNGKey(0))
+    _phase("param init")
     adaptor = RewardAdaptor(cfg=cfg, rcfg=rcfg, params=params, model_type="phi3v")
 
     class Tok:
@@ -578,6 +646,50 @@ METRICS = {
 }
 
 
+# conservative per-metric wall-time estimates (seconds, warm compile cache
+# through the axon tunnel; refreshed from actual runs via _DUR_FILE)
+_DEFAULT_EST = {
+    "fwd_bf16": 200, "fwd_int8": 220, "train": 130,
+    "qwen_int8": 170, "llava_int8": 300, "e2e": 300,
+}
+# most-important first: the headline bf16/int8 numbers, the training
+# throughput (VERDICT r3 item 5), then the other families, then e2e
+_PRIORITY = ("fwd_bf16", "fwd_int8", "train", "qwen_int8", "llava_int8", "e2e")
+_DUR_FILE = os.path.join(
+    os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache"),
+    "bench_durations.json",
+)
+
+
+def _load_durations():
+    try:
+        with open(_DUR_FILE) as f:
+            return {**_DEFAULT_EST, **json.load(f)}
+    except Exception:
+        return dict(_DEFAULT_EST)
+
+
+def _save_duration(name, dur):
+    try:
+        cur = {}
+        if os.path.exists(_DUR_FILE):
+            with open(_DUR_FILE) as f:
+                cur = json.load(f)
+        cur[name] = round(dur, 1)
+        with open(_DUR_FILE, "w") as f:
+            json.dump(cur, f)
+    except Exception:
+        pass
+
+
+def _emit_skipped(name, reason):
+    print(json.dumps({
+        "metric": f"{name}_pairs_per_sec_per_chip",
+        "value": None, "unit": "pairs/s/chip", "vs_baseline": None,
+        "skipped": True, "reason": reason,
+    }), flush=True)
+
+
 def main():
     if len(sys.argv) > 2 and sys.argv[1] == "--metric":
         METRICS[sys.argv[2]]()
@@ -588,23 +700,57 @@ def main():
     if os.environ.get("BENCH_E2E") == "1":
         default = "e2e"
     names = [n.strip() for n in os.environ.get("BENCH_METRICS", default).split(",") if n.strip()]
+    names = sorted(names, key=lambda n: _PRIORITY.index(n) if n in _PRIORITY else 99)
     env = dict(os.environ)
     env.setdefault("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache")
+
+    # Hard wall-clock budget: the driver runs `python bench.py` under a
+    # timeout; a benchmark that hangs records NOTHING (BENCH_r03 lost 4 of 6
+    # metrics to rc=124). Metrics that cannot fit the remaining budget emit
+    # an explicit skipped line instead.
+    budget = float(os.environ.get("BENCH_BUDGET", "560"))
+    deadline = _T0 + budget
+    est = _load_durations()
+
     for name in names:
         if name not in METRICS:
             print(f"unknown metric {name}", file=sys.stderr)
             continue
+        remaining = deadline - time.perf_counter()
+        need = est.get(name, 300)
+        if remaining < need * 1.1:
+            _emit_skipped(
+                name,
+                f"insufficient budget: {remaining:.0f}s left of "
+                f"BENCH_BUDGET={budget:.0f}s, metric needs ~{need:.0f}s "
+                "(warm cache); run `python bench.py --metric "
+                f"{name}` standalone for this number",
+            )
+            continue
         # subprocess per metric: fresh HBM, shared compile cache
-        r = subprocess.run(
-            [sys.executable, os.path.abspath(__file__), "--metric", name],
-            env=env, cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
-            capture_output=True, text=True, timeout=3000,
-        )
+        t0 = time.perf_counter()
+        try:
+            r = subprocess.run(
+                [sys.executable, os.path.abspath(__file__), "--metric", name],
+                env=env, cwd=os.path.dirname(os.path.abspath(__file__)) or ".",
+                capture_output=True, text=True,
+                timeout=max(60.0, deadline - time.perf_counter()),
+            )
+        except subprocess.TimeoutExpired:
+            _emit_skipped(name, f"hit BENCH_BUDGET={budget:.0f}s wall limit")
+            continue
+        dur = time.perf_counter() - t0
+        emitted = False
         for line in r.stdout.splitlines():
             if line.startswith("{"):
                 print(line, flush=True)
+                emitted = True
         if r.returncode != 0:
             print(f"metric {name} failed:\n{r.stderr[-1500:]}", file=sys.stderr)
+            if not emitted:
+                _emit_skipped(name, f"subprocess failed rc={r.returncode}")
+        else:
+            _save_duration(name, dur)
 
 
 if __name__ == "__main__":

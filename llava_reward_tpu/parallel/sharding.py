@@ -41,13 +41,26 @@ def create_mesh(
 
 def create_hybrid_mesh(dp_dcn: int, fsdp_ici: int, tp: int = 1) -> Mesh:
     """Multi-slice layout: fsdp inside a slice (ICI), dp across slices (DCN)
-    — the ZeRO++ hpZ analogue (deepspeed_utils.py:39)."""
+    — the ZeRO++ hpZ analogue (deepspeed_utils.py:39, zero_hpz_partition_size).
+
+    On real multi-slice TPU topologies the devices are grouped by their
+    ``slice_index`` so the fsdp all-gathers ride ICI and only the dp
+    gradient reduction crosses DCN. Single-slice (or CPU-virtual) device
+    sets have no slice boundaries — the layout degenerates to contiguous
+    fsdp groups, which preserves the (dp, fsdp, tp) semantics and lets the
+    zpg path be validated anywhere."""
     from jax.experimental import mesh_utils
 
-    devices = mesh_utils.create_hybrid_device_mesh(
-        (1, fsdp_ici, tp), (dp_dcn, 1, 1)
-    )
-    return Mesh(devices, ("dp", "fsdp", "tp"))
+    devices = jax.devices()
+    if getattr(devices[0], "slice_index", None) is not None:
+        dev_mesh = mesh_utils.create_hybrid_device_mesh(
+            (1, fsdp_ici, tp), (dp_dcn, 1, 1)
+        )
+    else:
+        n = dp_dcn * fsdp_ici * tp
+        assert len(devices) >= n, (len(devices), n)
+        dev_mesh = np.asarray(devices[:n]).reshape(dp_dcn, fsdp_ici, tp)
+    return Mesh(dev_mesh, ("dp", "fsdp", "tp"))
 
 
 # (regex over 'a/b/c' joined tree path) -> PartitionSpec
@@ -62,6 +75,19 @@ _PARAM_RULES: Sequence[Tuple[str, P]] = (
     (r".*layers/(input|post_attention)_layernorm$", P()),
     (r".*final_layernorm$", P()),
     (r".*lm_head$", P("fsdp", "tp")),
+    # qwen / llava decoders (unfused per-projection layout, {kernel, bias})
+    (r".*layers/(q_proj|k_proj|v_proj|gate_proj|up_proj)/kernel$",
+     P(None, "fsdp", "tp")),
+    (r".*layers/(o_proj|down_proj)/kernel$", P(None, "tp", "fsdp")),
+    # qwen window-attention vision tower
+    (r".*visual/patch_embed$", P("fsdp", None)),
+    (r".*blocks/qkv/kernel$", P(None, "fsdp", "tp")),
+    (r".*blocks/proj/kernel$", P(None, "tp", "fsdp")),
+    (r".*blocks/mlp/(gate|up)/kernel$", P(None, "fsdp", "tp")),
+    (r".*blocks/mlp/down/kernel$", P(None, "tp", "fsdp")),
+    (r".*merger/fc[12]/kernel$", P("fsdp", "tp")),
+    # llava projector
+    (r".*vision/projector/fc[12]/kernel$", P("fsdp", "tp")),
     # clip tower
     (r".*clip/patch_proj$", P("fsdp", None)),
     (r".*clip/position_embedding$", P()),
@@ -134,7 +160,27 @@ def batch_sharding(mesh: Mesh, leaf) -> NamedSharding:
     return NamedSharding(mesh, P(("dp", "fsdp"), *([None] * (leaf.ndim - 1))))
 
 
+def _field_batch_sharding(mesh: Mesh, name: str, leaf) -> NamedSharding:
+    if getattr(leaf, "ndim", 0) == 0:
+        return NamedSharding(mesh, P())
+    # M-RoPE position ids are (3, B, S): the batch axis is axis 1
+    axis = 1 if name == "position_ids" and leaf.ndim >= 2 else 0
+    spec = [None] * leaf.ndim
+    spec[axis] = ("dp", "fsdp")
+    return NamedSharding(mesh, P(*spec))
+
+
 def shard_batch(batch, mesh: Mesh):
+    from ..reward.model import RewardBatch
+
+    if isinstance(batch, RewardBatch):
+        fields = {}
+        for name, value in zip(batch._fields, batch):
+            fields[name] = jax.tree_util.tree_map(
+                lambda x: jax.device_put(x, _field_batch_sharding(mesh, name, x)),
+                value,
+            )
+        return RewardBatch(**fields)
     return jax.tree_util.tree_map(
         lambda x: jax.device_put(x, batch_sharding(mesh, x)), batch
     )
