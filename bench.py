@@ -124,8 +124,10 @@ def _w8a8_random_layers(shapes, seed=0, scale=0.02 / 127.0):
     return out
 
 
-def _to_w8a8_device(tree, min_size=1 << 20):
-    """Quantize a bf16 tree to w8a8 on device (for models that DO fit)."""
+def _to_w8a8_device(tree, min_size=1 << 20, only=None):
+    """Quantize a bf16 tree to w8a8 on device (for models that DO fit).
+    ``only``: path-substring filter — int8 wins per-SHAPE, not per-model
+    (PERF.md int8 ledger), so towers quantize selectively."""
     import jax
     import jax.numpy as jnp
 
@@ -136,9 +138,11 @@ def _to_w8a8_device(tree, min_size=1 << 20):
         scale = jnp.where(absmax > 0, absmax / 127.0, 1.0)
         return jnp.clip(jnp.round(wf / scale), -127, 127).astype(jnp.int8), scale
 
-    def walk(v):
+    def walk(v, path):
         if isinstance(v, dict):
-            return {k: walk(x) for k, x in v.items()}
+            return {k: walk(x, f"{path}/{k}") for k, x in v.items()}
+        if only is not None and not any(s in path for s in only):
+            return v
         if (
             hasattr(v, "dtype") and jnp.issubdtype(v.dtype, jnp.floating)
             and v.ndim >= 3 and v.size >= min_size
@@ -147,7 +151,7 @@ def _to_w8a8_device(tree, min_size=1 << 20):
             return {"qvalues_w8a8": qv, "scale": s}
         return v
 
-    return {k: walk(v) for k, v in tree.items()}
+    return {k: walk(v, k) for k, v in tree.items()}
 
 
 def _timed_steps(fn, params, batches, warm_batch):
@@ -199,9 +203,17 @@ def metric_fwd(quant: bool):
     params = init(jax.random.PRNGKey(0))
     _phase("param init")
     if quant:
-        # decoder only: int8 loses at CLIP K~1024 shapes (PERF.md round 3)
+        # decoder: every matmul wins in int8 (PERF.md int8 ledger). CLIP
+        # tower: per-shape mix — qkv and fc1 (K=1024) win (-1.5 / -0.5
+        # ms/matmul at M=87040), fc2 (K=4096) LOSES (+0.8) and stays bf16;
+        # 'out' (1024->1024) is too small to matter either way.
         params["backbone"]["decoder"]["layers"] = _to_w8a8_device(
             params["backbone"]["decoder"]["layers"], min_size=0 if tiny else 1 << 20
+        )
+        params["backbone"]["vision"]["clip"]["layers"] = _to_w8a8_device(
+            params["backbone"]["vision"]["clip"]["layers"],
+            min_size=0 if tiny else 1 << 20,
+            only=("attn/q", "attn/k", "attn/v", "mlp/fc1"),
         )
         _phase("quantize")
 

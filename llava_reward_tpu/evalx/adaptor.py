@@ -430,14 +430,27 @@ def load_reward_adaptor(
 
         scheme = {"w8a8": "w8a8", "nf4": "nf4"}.get(quantize, "absmax")
         bits = 4 if quantize in ("nf4", "int4") else 8
-        # DECODER ONLY: the int8 MXU double-rate path pays off at
-        # decoder-class shapes (K>=3072, large N: measured 388 T/s vs 192
-        # bf16 on v5e) but LOSES at CLIP-class shapes (K~1024: up to 3x
-        # slower, PERF.md round 3) — the vision tower stays bf16.
         dec = backbone["decoder"] if model_type == "phi3v" else backbone["text"]
         dec["layers"] = quantize_stacked_layers(
             dec["layers"], bits=bits, scheme=scheme, min_size=quantize_min_size
         )
+        if scheme == "w8a8":
+            # W8A8 also covers the vision tower, per-SHAPE: int8 wins where
+            # K is small relative to the activation rows (CLIP qkv/fc1,
+            # qwen qkv/gate/up) and LOSES where the dynamic-quantize passes
+            # sweep a K>=4096 activation (CLIP fc2, qwen down) — measured
+            # ms/matmul in the PERF.md int8 ledger. Weight-only schemes
+            # stay decoder-only (no dequant epilogue in the towers).
+            if model_type in ("phi3v", "llava"):
+                tower, key = backbone["vision"]["clip"], "layers"
+                only = ("attn/q", "attn/k", "attn/v", "mlp/fc1")
+            else:
+                tower, key = backbone["visual"], "blocks"
+                only = ("qkv", "mlp/gate", "mlp/up")
+            tower[key] = quantize_stacked_layers(
+                tower[key], bits=8, scheme="w8a8",
+                min_size=quantize_min_size, only=only,
+            )
 
     params = {"backbone": backbone, "head": head}
     if compute_dtype is not None:

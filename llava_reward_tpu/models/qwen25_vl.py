@@ -148,7 +148,7 @@ def _vision_block(h, lp, vc: QwenVisionConfig, cos, sin, patch_valid, is_full, a
     wp = vc.win_patches
 
     x = rms_norm(h, lp["norm1"], vc.rms_norm_eps)
-    qkv = x @ lp["qkv"]["kernel"] + lp["qkv"]["bias"]
+    qkv = _lin(x, lp["qkv"])
     q, k, v = jnp.split(qkv.reshape(B, P, 3, nh, hd), 3, axis=2)
     q, k, v = q[:, :, 0], k[:, :, 0], v[:, :, 0]
     # fp32 rotary (apply_rotary_pos_emb_vision)
@@ -181,15 +181,12 @@ def _vision_block(h, lp, vc: QwenVisionConfig, cos, sin, patch_valid, is_full, a
         return out.reshape(B, P, nh, hd)
 
     attn = jax.lax.cond(is_full, full_attn, win_attn, q, k, v)
-    attn = attn.reshape(B, P, H) @ lp["proj"]["kernel"] + lp["proj"]["bias"]
+    attn = _lin(attn.reshape(B, P, H), lp["proj"])
     h = h + attn
 
     x = rms_norm(h, lp["norm2"], vc.rms_norm_eps)
     mlp = lp["mlp"]
-    x = (
-        silu(x @ mlp["gate"]["kernel"] + mlp["gate"]["bias"])
-        * (x @ mlp["up"]["kernel"] + mlp["up"]["bias"])
-    ) @ mlp["down"]["kernel"] + mlp["down"]["bias"]
+    x = _lin(silu(_lin(x, mlp["gate"])) * _lin(x, mlp["up"]), mlp["down"])
     return h + x
 
 

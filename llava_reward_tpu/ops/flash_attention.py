@@ -672,13 +672,12 @@ def _batch_shard_mesh():
 def _shard_map_batch(core_fn, mesh, batch_axes, arg_ndims, out_ndim=4):
     """shard_map ``core_fn`` with dim-0 batch sharding on every arg and the
     (B, ...) output."""
-    from jax.experimental.shard_map import shard_map
     from jax.sharding import PartitionSpec as P
 
     in_specs = tuple(P(batch_axes, *([None] * (nd - 1))) for nd in arg_ndims)
-    return shard_map(
+    return jax.shard_map(
         core_fn, mesh=mesh, in_specs=in_specs,
-        out_specs=P(batch_axes, *([None] * (out_ndim - 1))), check_rep=False,
+        out_specs=P(batch_axes, *([None] * (out_ndim - 1))), check_vma=False,
     )
 
 

@@ -136,9 +136,27 @@ def param_specs(params) -> dict:
     )
 
 
+def _divisible_spec(spec: P, leaf, mesh: Mesh) -> P:
+    """Drop sharding on dims the mesh doesn't divide (e.g. the 588-row CLIP
+    patch_proj under fsdp=8): replicate that dim instead of erroring."""
+    if leaf is None or not hasattr(leaf, "shape"):
+        return spec
+    fixed = []
+    for d, names in enumerate(spec):
+        if names is None:
+            fixed.append(None)
+            continue
+        group = names if isinstance(names, tuple) else (names,)
+        size = int(np.prod([mesh.shape[n] for n in group]))
+        fixed.append(names if leaf.shape[d] % size == 0 else None)
+    return P(*fixed)
+
+
 def param_shardings(params, mesh: Mesh):
     return jax.tree_util.tree_map(
-        lambda spec: NamedSharding(mesh, spec), param_specs(params)
+        lambda spec, leaf: NamedSharding(mesh, _divisible_spec(spec, leaf, mesh)),
+        param_specs(params),
+        params,
     )
 
 

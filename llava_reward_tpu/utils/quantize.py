@@ -156,7 +156,20 @@ def _int8_matmul_2d(x2: jnp.ndarray, w: jnp.ndarray, scale: jnp.ndarray) -> jnp.
     """(N, in) x int8 (in, out) core: per-row dynamic activation quantization
     (absmax -> round to int8), an s8 x s8 -> s32 dot_general, then the f32
     epilogue folds both scales. XLA fuses the quantize pass and the epilogue
-    into the matmul."""
+    around its own int8 matmul emitter.
+
+    This XLA formulation is the DEFAULT ON TPU: the fused Pallas kernel
+    (ops/int8_matmul.py, LRT_PALLAS_INT8=1 opts in) measured SLOWER at every
+    production shape despite saving two HBM passes — XLA's int8 matmul
+    emitter beats the naive VMEM-resident design (chained-timing ms/matmul,
+    M=87040 CLIP / 20480 decoder rows: see the int8 ledger in PERF.md)."""
+    import os
+
+    from ..ops import int8_matmul
+
+    if os.environ.get("LRT_PALLAS_INT8") == "1" and int8_matmul.supported(x2, w):
+        return int8_matmul.w8a8_matmul(x2, w, scale)
+
     xf = x2.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
     amax = jnp.where(amax > 0, amax, 1.0)
@@ -222,7 +235,8 @@ def qmatmul(x: jnp.ndarray, w) -> jnp.ndarray:
 
 
 def quantize_stacked_layers(
-    layers: dict, bits: int = 8, min_size: int = 1 << 20, scheme: str = "absmax"
+    layers: dict, bits: int = 8, min_size: int = 1 << 20, scheme: str = "absmax",
+    only=None,
 ) -> dict:
     """Quantize every large float leaf of a stacked-layer tree (kernels),
     leaving layernorms/biases/small leaves untouched. Handles both bare-array
@@ -231,7 +245,11 @@ def quantize_stacked_layers(
     ``scheme``: 'absmax' (per-out-channel symmetric int, dequant-before-
     matmul), 'nf4' (bitsandbytes NormalFloat4 blockwise grid — numerics
     match the reference's --load_in_4bit), or 'w8a8' (int8 kept in the
-    matmul: the 394 TOPS inference mode, --load_in_8bit)."""
+    matmul: the 394 TOPS inference mode, --load_in_8bit).
+
+    ``only``: optional tuple of path substrings — quantize just the leaves
+    whose 'a/b/c' tree path contains one of them (mixed-precision towers:
+    int8 wins per-SHAPE, not per-model — see PERF.md int8 ledger)."""
 
     def q(leaf):
         if (
@@ -247,12 +265,14 @@ def quantize_stacked_layers(
             return quantize_array(leaf, bits)
         return leaf
 
-    def walk(v):
+    def walk(v, path):
         if isinstance(v, dict):
-            return {k: walk(x) for k, x in v.items()}
+            return {k: walk(x, f"{path}/{k}") for k, x in v.items()}
+        if only is not None and not any(s in path for s in only):
+            return v
         return q(v)
 
-    return {name: walk(v) for name, v in layers.items()}
+    return {name: walk(v, name) for name, v in layers.items()}
 
 
 def dequant_layer(lp: dict, dtype=jnp.bfloat16) -> dict:

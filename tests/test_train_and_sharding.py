@@ -275,3 +275,73 @@ def test_pointwise_eval_during_training(rng):
     assert set(m) == {"eval_acc", "eval_f1", "eval_recall", "eval_num_samples"}
     assert m["eval_num_samples"] == B
     assert 0.0 <= m["eval_acc"] <= 1.0 and np.isfinite(m["eval_f1"])
+
+
+def test_wandb_logging_path(rng, tmp_path):
+    """fit() and evaluate() drive the wandb logger (stubbed): train/* rows
+    per logging step, eval/* rows per eval, finish() at the end — the
+    reference's strategy.log path (rm_trainer_general_preference.py:218-238)."""
+    from llava_reward_tpu.preprocess.collate import Batch
+    from llava_reward_tpu.train.trainer import RewardTrainer
+    from llava_reward_tpu.train.train_step import make_cls_loss_fn
+
+    class StubWandb:
+        def __init__(self):
+            self.rows, self.finished = [], False
+
+        def log(self, d):
+            self.rows.append(dict(d))
+
+        def finish(self):
+            self.finished = True
+
+    cfg = phi3v_tiny_config(num_layers=2, vision_layers=1)
+    rcfg = RewardConfig(is_general_preference=False)
+    rcfg.layer_id = cfg.decoder.num_layers
+    frozen = {"backbone": phi3v.init_params(jax.random.PRNGKey(0), cfg)}
+    trainable = {
+        "head": init_head_params(jax.random.PRNGKey(1), cfg, rcfg),
+        "lora": None, "projector": None, "vision_lora": None,
+    }
+    B, S = 4, 12
+    b = Batch(
+        input_ids=rng.integers(2, 100, (B, S)).astype(np.int32),
+        attention_mask=np.ones((B, S), np.int32),
+        splice_idx=np.full((B, S), -1, np.int32),
+        pixel_values=None, img_gather_idx=None,
+        num_img_tokens=np.zeros((B,), np.int32),
+    )
+    labels = np.asarray([1, 0, 1, 0], np.float32)
+    stub = StubWandb()
+    trainer = RewardTrainer(
+        cfg=cfg, rcfg=rcfg, frozen=frozen, trainable=trainable,
+        tx=make_optimizer(1e-3, 10),
+        loss_fn=make_cls_loss_fn(cfg, rcfg, attn_impl="xla", remat=False),
+        train_loader=[(b, labels)], eval_loader=[(b, labels)], cls_based=True,
+        logging_steps=1, eval_steps=1, max_epochs=1,
+        save_path=str(tmp_path), wandb_logger=stub,
+    )
+    trainer.fit()
+    train_rows = [r for r in stub.rows if "train/preference_loss" in r]
+    eval_rows = [r for r in stub.rows if "eval/eval_acc" in r]
+    assert len(train_rows) == 1 and len(eval_rows) == 1
+    assert np.isfinite(train_rows[0]["train/preference_loss"])
+    assert train_rows[0]["train/global_step"] == 1
+    assert stub.finished
+
+
+def test_param_shardings_drop_nondivisible_dims():
+    """Dims the mesh doesn't divide (e.g. the 588-row CLIP patch_proj under
+    fsdp=8) fall back to replicated instead of erroring; divisible dims
+    keep their rule."""
+    from jax.sharding import PartitionSpec as P
+    from llava_reward_tpu.parallel.sharding import param_shardings
+
+    mesh = create_mesh(dp=1, fsdp=8, tp=1)
+    tree = {
+        "vision": {"clip": {"patch_proj": np.zeros((588, 64), np.float32)}},
+        "decoder": {"embed_tokens": np.zeros((512, 64), np.float32)},
+    }
+    sh = param_shardings(tree, mesh)
+    assert sh["vision"]["clip"]["patch_proj"].spec == P(None, None)
+    assert sh["decoder"]["embed_tokens"].spec == P("fsdp", "tp")
