@@ -224,3 +224,91 @@ def test_device_resize_mixed_batch_falls_back(rng, monkeypatch):
     batch = collate_samples([s_rs, s_f32], 256, 0)
     assert "resize_tabs" not in batch
     assert batch["pixel_values"].dtype == np.float32  # everything went f32
+
+
+def test_pairwise_eval_mixed_buckets_and_modes_match_f32(rng, monkeypatch, tmp_path):
+    """Pairwise eval merge paths (evalx/batch_inference.py): chosen/rejected
+    sides landing in different SRC/nc buckets (u8src tap-table merge +
+    4-dim spatial pad) and in different preproc MODES (u8src vs u8 vs f32
+    -> _materialize_f32 unification) must score exactly like the pure-f32
+    host path. These paths only fire on rare mixed production batches, so
+    CI covers them explicitly (r3 advisor)."""
+    import os
+
+    from llava_reward_tpu.evalx.adaptor import RewardAdaptor
+    from llava_reward_tpu.evalx.batch_inference import batch_rm_inference
+    from llava_reward_tpu.ops.pixels import MAX_GRID, WOUT_MAX
+
+    cfg = phi3v_tiny_config(num_crops=16, num_layers=2, vision_layers=1)
+    rcfg = RewardConfig(is_general_preference=True, value_head_dim=2)
+    rcfg.layer_id = cfg.decoder.num_layers
+    params = {
+        "backbone": phi3v.init_params(jax.random.PRNGKey(0), cfg),
+        "head": init_head_params(jax.random.PRNGKey(1), cfg, rcfg),
+    }
+    adaptor = RewardAdaptor(cfg=cfg, rcfg=rcfg, params=params, model_type="phi3v")
+
+    class Tok:
+        eos_token = "</s>"
+        pad_token_id = 0
+
+        def __call__(self, text):
+            return {"input_ids": [hash(t) % 400 + 3 for t in text.split()]}
+
+        def apply_chat_template(self, msgs, tokenize=False, add_generation_prompt=True):
+            return "".join(m["content"] for m in msgs) + " " + "x" * 22
+
+    tok = Tok()
+    # geometry per mode (asserted below so the test can't silently degrade;
+    # with num_crops=16 the grid depends only on aspect ratio):
+    #   small  (380, 400)   -> u8src, SRC bucket 672, 4x4 grid (nc bucket 16)
+    #   large  (334, 1002)  -> u8src, SRC bucket 1344, 2x6 grid (nc bucket 12)
+    #   big    (2800, 3000) -> raw edge > WOUT_MAX but grid <= MAX_GRID -> u8 crops
+    #   pano   (200, 3000)  -> grid > MAX_GRID -> host f32 bank
+    sizes = {
+        "small": (380, 400), "large": (334, 1002),
+        "big": (2800, 3000), "pano": (200, 3000),
+    }
+    for name, (h, w) in sizes.items():
+        arr = rng.integers(0, 255, (h, w, 3), dtype=np.uint8)
+        Image.fromarray(arr).save(tmp_path / f"{name}.png")
+
+    monkeypatch.setenv("LRT_DEVICE_RESIZE", "1")
+    proc_rs = Phi3VProcessor(tok, num_crops=16, device_preproc=True)
+    assert proc_rs.device_resize
+
+    def mode(name):
+        s = proc_rs("a <|image_1|> b", [Image.open(tmp_path / f"{name}.png")])
+        if s.src_u8 is not None:
+            return "u8src"
+        return "u8" if s.crop_grid is not None else "f32"
+
+    assert mode("small") == "u8src" and mode("large") == "u8src"
+    assert mode("big") == "u8" and mode("pano") == "f32"
+    s_small = proc_rs("a <|image_1|> b", [Image.open(tmp_path / "small.png")])
+    s_large = proc_rs("a <|image_1|> b", [Image.open(tmp_path / "large.png")])
+    assert s_small.src_u8.shape != s_large.src_u8.shape  # different SRC buckets
+    assert s_small.crop_grid != s_large.crop_grid  # different nc buckets
+
+    rows = [
+        {"prompt": "p0", "chosen_path": "small.png", "reject_path": "large.png"},
+        {"prompt": "p1", "chosen_path": "small.png", "reject_path": "big.png"},
+        {"prompt": "p2", "chosen_path": "small.png", "reject_path": "pano.png"},
+    ]
+
+    def run(proc):
+        return batch_rm_inference(
+            adaptor, rows, tok, proc,
+            batch_size=1, seq_len=2816, image_root=str(tmp_path),
+            attn_impl="xla", num_workers=1, progress=False,
+        )
+
+    m_rs = run(proc_rs)
+    monkeypatch.setenv("LRT_DEVICE_RESIZE", "0")
+    proc_f32 = Phi3VProcessor(tok, num_crops=16, device_preproc=False)
+    m_f32 = run(proc_f32)
+    assert m_rs["num_pairs"] == m_f32["num_pairs"] == 3
+    # device bilinear + bank assembly are bit-exact vs PIL; the f32
+    # unification path adds only bf16-free f32 resampling -> tight tol
+    np.testing.assert_allclose(m_rs["mean_prob"], m_f32["mean_prob"], atol=3e-4)
+    assert m_rs["accuracy"] == m_f32["accuracy"]
