@@ -468,4 +468,13 @@ def load_reward_adaptor(
             return v
 
         params = cast(params)
+    # Commit the tree to the device ONCE. The loaders above build host
+    # (numpy) leaves; numpy args to a jitted score fn are re-transferred on
+    # EVERY call (jit does not memoise host buffers), which on the tunnelled
+    # backend means re-uploading the full model per batch (~30 MB/s). The
+    # score fns (batch_inference.py:194, server.py:153) feed adaptor.params
+    # straight into jit and rely on this.
+    import jax
+
+    params = jax.device_put(params)
     return RewardAdaptor(cfg=cfg, rcfg=rcfg, params=params, model_type=model_type)

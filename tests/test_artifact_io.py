@@ -151,6 +151,11 @@ def test_adaptor_end_to_end(tmp_path):
     adaptor = load_reward_adaptor(str(base_dir), str(pm_dir))
     assert adaptor.cfg.decoder.num_layers == 2
     assert adaptor.rcfg.value_head_dim == 2
+    # params must come back device-committed: numpy leaves fed to a jitted
+    # score fn are re-uploaded on EVERY call (per-batch full-model transfer
+    # through the ~30 MB/s tunnel in production eval)
+    for leaf in jax.tree_util.tree_leaves(adaptor.params):
+        assert isinstance(leaf, jax.Array), type(leaf)
     # vision config defaulted to full-size; patch tiny for the forward test
     adaptor = type(adaptor)(
         cfg=cfg, rcfg=adaptor.rcfg,
