@@ -204,16 +204,11 @@ def metric_fwd(quant: bool):
     _phase("param init")
     if quant:
         # decoder: every matmul wins in int8 (PERF.md int8 ledger). CLIP
-        # tower: per-shape mix — qkv and fc1 (K=1024) win (-1.5 / -0.5
-        # ms/matmul at M=87040), fc2 (K=4096) LOSES (+0.8) and stays bf16;
-        # 'out' (1024->1024) is too small to matter either way.
+        # tower: stays bf16 — the per-matmul qkv/fc1 wins do NOT transfer
+        # to the tower (chained tower-level timing, PERF.md int8 ledger:
+        # bf16 389.0 ms = int8-qkv+fc1 389.5; int8-all 409.5 is worse).
         params["backbone"]["decoder"]["layers"] = _to_w8a8_device(
             params["backbone"]["decoder"]["layers"], min_size=0 if tiny else 1 << 20
-        )
-        params["backbone"]["vision"]["clip"]["layers"] = _to_w8a8_device(
-            params["backbone"]["vision"]["clip"]["layers"],
-            min_size=0 if tiny else 1 << 20,
-            only=("attn/q", "attn/k", "attn/v", "mlp/fc1"),
         )
         _phase("quantize")
 

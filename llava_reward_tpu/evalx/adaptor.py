@@ -434,22 +434,18 @@ def load_reward_adaptor(
         dec["layers"] = quantize_stacked_layers(
             dec["layers"], bits=bits, scheme=scheme, min_size=quantize_min_size
         )
-        if scheme == "w8a8":
-            # W8A8 also covers the vision tower, per-SHAPE: int8 wins where
-            # K is small relative to the activation rows (CLIP qkv/fc1,
-            # qwen qkv/gate/up) and LOSES where the dynamic-quantize passes
-            # sweep a K>=4096 activation (CLIP fc2, qwen down) — measured
-            # ms/matmul in the PERF.md int8 ledger. Weight-only schemes
-            # stay decoder-only (no dequant epilogue in the towers).
-            if model_type in ("phi3v", "llava"):
-                tower, key = backbone["vision"]["clip"], "layers"
-                only = ("attn/q", "attn/k", "attn/v", "mlp/fc1")
-            else:
-                tower, key = backbone["visual"], "blocks"
-                only = ("qkv", "mlp/gate", "mlp/up")
-            tower[key] = quantize_stacked_layers(
-                tower[key], bits=8, scheme="w8a8",
-                min_size=quantize_min_size, only=only,
+        if scheme == "w8a8" and model_type == "qwen":
+            # Vision towers: the CLIP (phi3v/llava) tower stays bf16 — the
+            # per-matmul int8 wins (qkv/fc1, PERF.md ledger) do NOT transfer
+            # to the tower (chained tower-level timing: bf16 389.0 ms vs
+            # int8-qkv+fc1 389.5 vs int8-all 409.5 at production shape), so
+            # quantizing it buys nothing and costs numerics headroom. The
+            # qwen tower (K=1280, gate/up) keeps the per-shape int8 mix it
+            # was benched with; its tower-level delta is unmeasured.
+            # Weight-only schemes stay decoder-only either way.
+            backbone["visual"]["blocks"] = quantize_stacked_layers(
+                backbone["visual"]["blocks"], bits=8, scheme="w8a8",
+                min_size=quantize_min_size, only=("qkv", "mlp/gate", "mlp/up"),
             )
 
     params = {"backbone": backbone, "head": head}

@@ -338,7 +338,8 @@ def test_w8a8_clip_tower_close():
 def test_w8a8_adaptor_roundtrip(tmp_path, rng):
     """--load_in_8bit through load_reward_adaptor: quantized load scores
     close to the f32 load on the same synthesized checkpoint (the decoder
-    AND the CLIP tower carry w8a8 leaves)."""
+    carries w8a8 leaves; the CLIP tower stays bf16 per the tower-level
+    measurement)."""
     import json
     import os
 
@@ -396,13 +397,13 @@ def test_w8a8_adaptor_roundtrip(tmp_path, rng):
         str(base_dir), str(pm_dir), compute_dtype=jnp.float32, quantize="w8a8",
         quantize_min_size=0,
     )
-    # decoder layers carry w8a8 leaves; the CLIP tower quantizes per-SHAPE
-    # (PERF.md int8 ledger): qkv + fc1 win in int8, fc2 / out LOSE on the
-    # dynamic-quantize passes over K>=4096 activations and stay bf16
+    # decoder layers carry w8a8 leaves; the CLIP tower stays ALL bf16 —
+    # tower-level chained timing showed the per-matmul qkv/fc1 wins do not
+    # transfer in-model (PERF.md int8 ledger, tower-level truth)
     assert is_w8a8(a_q.params["backbone"]["decoder"]["layers"]["qkv_proj"])
     clip_layers = a_q.params["backbone"]["vision"]["clip"]["layers"]
-    assert is_w8a8(clip_layers["mlp"]["fc1"]["kernel"])
-    assert is_w8a8(clip_layers["attn"]["q"]["kernel"])
+    assert not is_w8a8(clip_layers["mlp"]["fc1"]["kernel"])
+    assert not is_w8a8(clip_layers["attn"]["q"]["kernel"])
     assert not is_w8a8(clip_layers["mlp"]["fc2"]["kernel"])
     assert not is_w8a8(clip_layers["attn"]["out"]["kernel"])
     rng.bit_generator.state = rng_state  # same random batch
