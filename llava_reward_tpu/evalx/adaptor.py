@@ -434,19 +434,15 @@ def load_reward_adaptor(
         dec["layers"] = quantize_stacked_layers(
             dec["layers"], bits=bits, scheme=scheme, min_size=quantize_min_size
         )
-        if scheme == "w8a8" and model_type == "qwen":
-            # Vision towers: the CLIP (phi3v/llava) tower stays bf16 — the
-            # per-matmul int8 wins (qkv/fc1, PERF.md ledger) do NOT transfer
-            # to the tower (chained tower-level timing: bf16 389.0 ms vs
-            # int8-qkv+fc1 389.5 vs int8-all 409.5 at production shape), so
-            # quantizing it buys nothing and costs numerics headroom. The
-            # qwen tower (K=1280, gate/up) keeps the per-shape int8 mix it
-            # was benched with; its tower-level delta is unmeasured.
-            # Weight-only schemes stay decoder-only either way.
-            backbone["visual"]["blocks"] = quantize_stacked_layers(
-                backbone["visual"]["blocks"], bits=8, scheme="w8a8",
-                min_size=quantize_min_size, only=("qkv", "mlp/gate", "mlp/up"),
-            )
+        # Vision towers stay bf16 under every quantize scheme: the
+        # per-matmul int8 wins (PERF.md int8 ledger) do NOT transfer to the
+        # towers once embedded in the producer chain — chained tower-level
+        # timing at production shapes: CLIP bf16 389.0 ms vs int8-qkv+fc1
+        # 389.5 vs int8-all 409.5 (scratch/probe_clip_int8.py); qwen bf16
+        # 129.5 ms vs the qkv/gate/up mix 139.8 vs int8-all 128.1
+        # (scratch/probe_qwen_int8.py). Quantizing them buys nothing (or
+        # loses) and costs numerics headroom, so only the decoder carries
+        # int8 leaves.
 
     params = {"backbone": backbone, "head": head}
     if compute_dtype is not None:

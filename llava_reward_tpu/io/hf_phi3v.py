@@ -149,7 +149,13 @@ def params_from_hf_state_dict(
     tree = {"decoder": decoder, "vision": vision}
     if "lm_head.weight" in sd:
         tree["lm_head"] = _t(get("lm_head.weight"))
-    check_fully_consumed(sd, strict=strict, what="phi3v base checkpoint")
+    # vision_embed_tokens.wte IS model.embed_tokens (the image embedder holds
+    # the shared text embedding module, modeling_phi3_v.py:1355); checkpoints
+    # serialize it as a duplicate key — already consumed via embed_tokens.
+    check_fully_consumed(
+        sd, strict=strict, what="phi3v base checkpoint",
+        ignore=(r"^model\.vision_embed_tokens\.wte\.weight$",),
+    )
     return tree
 
 

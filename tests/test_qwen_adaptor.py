@@ -147,3 +147,24 @@ def test_qwen_adaptor_end_to_end(tmp_path, rng):
         training=False, attn_impl="xla",
     ).reward
     assert r.shape == (B, 2) and np.all(np.isfinite(np.asarray(r)))
+
+    # --load_in_8bit: the decoder carries w8a8 leaves, the vision tower
+    # stays bf16 (tower-level chained timing: the qkv/gate/up mix LOSES —
+    # PERF.md int8 ledger, scratch/probe_qwen_int8.py), and text-only
+    # scores stay close to the f32 load
+    from llava_reward_tpu.utils.quantize import is_w8a8
+
+    a_q = load_reward_adaptor(str(base), str(pm), model_type="qwen",
+                              ft_projector=False, quantize="w8a8",
+                              quantize_min_size=0)
+    a_q.rcfg.layer_id = cfg.text.num_layers
+    lay_q = a_q.params["backbone"]["text"]["layers"]
+    assert is_w8a8(lay_q["q_proj"]["kernel"])
+    assert is_w8a8(lay_q["down_proj"]["kernel"])
+    blocks_q = a_q.params["backbone"]["visual"]["blocks"]
+    assert not is_w8a8(blocks_q["qkv"]["kernel"])
+    assert not is_w8a8(blocks_q["mlp"]["gate"]["kernel"])
+    r_q = reward_forward(
+        a_q.params, a_q.cfg, a_q.rcfg, batch, training=False, attn_impl="xla",
+    ).reward
+    np.testing.assert_allclose(np.asarray(r_q), np.asarray(r), atol=0.05)
