@@ -69,11 +69,15 @@ def generate(out_dir: str, n_train: int = 64, n_test: int = 32, seed: int = 0):
         return rel
 
     # UnsafeBench train rows: label 1 == Safe (reference rows pair
-    # safety_label "Safe" with label 1)
-    train = []
+    # safety_label "Safe" with label 1). The reference ships TWO variants
+    # of the same 8109 rows (/root/reference/data/Unsafebench/): _train has
+    # the source caption only where one existed (2283/8109 prompts empty),
+    # _cap_train fills every prompt with a generated caption. Mirror that:
+    # identical rows, prompt emptied for ~28% of them in the plain variant.
+    train, cap_train = [], []
     for i in range(n_train):
         label = int(rng.random() < 0.5)
-        train.append({
+        row = {
             "safety_label": "Safe" if label == 1 else "Unsafe",
             "category": UNSAFEBENCH_CATEGORIES[
                 int(rng.integers(len(UNSAFEBENCH_CATEGORIES)))],
@@ -81,9 +85,15 @@ def generate(out_dir: str, n_train: int = 64, n_test: int = 32, seed: int = 0):
             "path": render(f"train_{i}", label),
             "label": label,
             "prompt": f"a user-submitted image number {i}",
-        })
+        }
+        cap_train.append(row)
+        train.append(
+            dict(row, prompt="") if rng.random() < 2283 / 8109 else row
+        )
     with open(os.path.join(out_dir, "Unsafebench_train.json"), "w") as f:
         json.dump(train, f, indent=4)
+    with open(os.path.join(out_dir, "Unsafebench_cap_train.json"), "w") as f:
+        json.dump(cap_train, f, indent=4)
 
     # SMID test rows: empty prompt, just {path, label, prompt}
     test = []
@@ -99,12 +109,52 @@ def generate(out_dir: str, n_train: int = 64, n_test: int = 32, seed: int = 0):
     return out_dir
 
 
+def generate_reference_layout(data_dir: str, n_train: int, n_test: int,
+                              seed: int = 0):
+    """Write the files at the reference's shipped-data paths
+    (/root/reference/data/): Unsafebench/Unsafebench_{cap_,}train.json and
+    smid_test.json, images under <data_dir>/safety_images. JSON paths are
+    relative to <data_dir> (pass it as --image_root)."""
+    import shutil
+
+    tmp = os.path.join(data_dir, "_safety_tmp")
+    generate(tmp, n_train, n_test, seed)
+
+    img_dst = os.path.join(data_dir, "safety_images")
+    if os.path.isdir(img_dst):
+        shutil.rmtree(img_dst)
+    shutil.move(os.path.join(tmp, "images"), img_dst)
+
+    def rewrite(src, dst):
+        rows = json.load(open(os.path.join(tmp, src)))
+        for r in rows:
+            r["path"] = r["path"].replace("images/", "safety_images/", 1)
+        os.makedirs(os.path.dirname(dst), exist_ok=True)
+        with open(dst, "w") as f:
+            json.dump(rows, f, indent=4)
+
+    ub = os.path.join(data_dir, "Unsafebench")
+    rewrite("Unsafebench_train.json",
+            os.path.join(ub, "Unsafebench_train.json"))
+    rewrite("Unsafebench_cap_train.json",
+            os.path.join(ub, "Unsafebench_cap_train.json"))
+    rewrite("smid_test.json", os.path.join(data_dir, "smid_test.json"))
+    shutil.rmtree(tmp)
+    return data_dir
+
+
 if __name__ == "__main__":
     p = argparse.ArgumentParser()
     p.add_argument("--out", default="data/safety_fixtures")
     p.add_argument("--train", type=int, default=64)
     p.add_argument("--test", type=int, default=32)
     p.add_argument("--seed", type=int, default=0)
+    p.add_argument("--layout", choices=("flat", "reference"), default="flat",
+                   help="'reference' mirrors /root/reference/data/ paths "
+                        "under --out")
     a = p.parse_args()
-    generate(a.out, a.train, a.test, a.seed)
+    if a.layout == "reference":
+        generate_reference_layout(a.out, a.train, a.test, a.seed)
+    else:
+        generate(a.out, a.train, a.test, a.seed)
     print(f"wrote {a.train} train + {a.test} test rows under {a.out}")

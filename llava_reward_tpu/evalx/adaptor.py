@@ -409,7 +409,14 @@ def load_reward_adaptor(
 
     from ..io.artifact import check_artifact_keys
 
-    check_artifact_keys(pm_path, strict=strict)
+    # ft-phi full-checkpoint mode (batch_inference_rm_ft_phi.py:28-55):
+    # pretrain IS pm_path, so the artifact bin legitimately holds the whole
+    # backbone alongside the head keys. The base load above already
+    # strict-checked every key of that file (head keys excepted via
+    # REWARD_HEAD_PATTERNS), so the artifact-shape check is both redundant
+    # and wrong there — skip it.
+    if os.path.realpath(pretrain) != os.path.realpath(pm_path):
+        check_artifact_keys(pm_path, strict=strict)
     head = load_head_params(pm_path, rcfg, dtype=dtype)
     if ft_projector:
         if model_type == "phi3v":

@@ -152,9 +152,12 @@ def params_from_hf_state_dict(
     # vision_embed_tokens.wte IS model.embed_tokens (the image embedder holds
     # the shared text embedding module, modeling_phi3_v.py:1355); checkpoints
     # serialize it as a duplicate key — already consumed via embed_tokens.
+    from .torch_io import REWARD_HEAD_PATTERNS
+
     check_fully_consumed(
         sd, strict=strict, what="phi3v base checkpoint",
-        ignore=(r"^model\.vision_embed_tokens\.wte\.weight$",),
+        ignore=(r"^model\.vision_embed_tokens\.wte\.weight$",)
+        + REWARD_HEAD_PATTERNS,
     )
     return tree
 

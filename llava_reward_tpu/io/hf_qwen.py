@@ -133,5 +133,8 @@ def params_from_hf_state_dict(
     tree = {"visual": visual, "text": text}
     if "lm_head.weight" in sd:
         tree["lm_head"] = _t(get("lm_head.weight"))
-    check_fully_consumed(sd, strict=strict, what="qwen base checkpoint")
+    from .torch_io import REWARD_HEAD_PATTERNS
+
+    check_fully_consumed(sd, strict=strict, what="qwen base checkpoint",
+                         ignore=REWARD_HEAD_PATTERNS)
     return tree

@@ -46,6 +46,20 @@ _IGNORE_PATTERNS = (
     r"\.masked_bias$",
 )
 
+# reward-head keys owned by io/artifact.py, not the backbone loaders: in the
+# ft-phi full-checkpoint mode (batch_inference_rm_ft_phi.py:28-55) they live
+# in the SAME pytorch_model.bin as the base weights, so the base-checkpoint
+# strict check must not flag them as unconsumed (a genuine base checkpoint
+# never contains them, so ignoring costs no strictness there).
+REWARD_HEAD_PATTERNS = (
+    r"(^|\.)value_head\.",
+    r"(^|\.)W_q\.",
+    r"(^|\.)W_k\.",
+    r"(^|\.)W_v\.",
+    r"(^|\.)ca_layernorm\.",
+    r"(^|\.)prompt_head\.",
+)
+
 
 def check_fully_consumed(sd, *, strict: bool = True, what: str = "checkpoint",
                          ignore: tuple = ()) -> list:

@@ -19,3 +19,10 @@ python train_llava_reward.py \
   --zero_stage 3 --seq_len 2944 \
   --save_path ./ckpt/phi35v_rm --ckpt_path ./ckpt/phi35v_rm/resume \
   --logging_steps 10 --save_steps 500 "$@"
+
+# Pointwise safety-classifier (CLS) variant — the reference keeps this as a
+# commented config (run_train_rm_single_lora_phi.sh:63-92: value_head_dim 1,
+# UnsafeBench pointwise data). Synthetic UnsafeBench-schema data ships at
+# data/Unsafebench/ (regenerate at any scale: data/gen_safety_fixtures.py):
+#   DATASET=data/Unsafebench/Unsafebench_cap_train.json IMAGE_ROOT=data \
+#     scripts/run_train_rm_single_lora_phi.sh --cls_based --value_head_dim 1

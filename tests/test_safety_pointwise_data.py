@@ -40,6 +40,34 @@ def test_schema_matches_reference(fixtures):
     assert test[0]["prompt"] == ""  # SMID rows carry empty prompts
 
 
+def test_shipped_reference_layout_files():
+    """The repo SHIPS generated datasets at the reference's data paths
+    (/root/reference/data/ layout): data/Unsafebench/Unsafebench_train.json,
+    Unsafebench_cap_train.json (every prompt captioned; the plain variant
+    leaves ~28% empty like the reference) and data/smid_test.json, with
+    every referenced image present under data/."""
+    root = os.path.join(os.path.dirname(__file__), "..", "data")
+    with open(os.path.join(root, "Unsafebench", "Unsafebench_train.json")) as f:
+        train = json.load(f)
+    with open(
+        os.path.join(root, "Unsafebench", "Unsafebench_cap_train.json")
+    ) as f:
+        cap = json.load(f)
+    with open(os.path.join(root, "smid_test.json")) as f:
+        smid = json.load(f)
+    assert len(train) == len(cap) >= 256
+    assert all(r["prompt"] for r in cap)
+    assert 0 < sum(1 for r in train if not r["prompt"]) < len(train)
+    # rows are otherwise identical between the two variants
+    assert [dict(r, prompt="") for r in train] == [
+        dict(r, prompt="") for r in cap
+    ]
+    for rows in (train, cap, smid):
+        for r in rows[:8] + rows[-8:]:
+            assert os.path.exists(os.path.join(root, r["path"])), r["path"]
+    assert all(r["prompt"] == "" for r in smid)
+
+
 def test_cls_train_cli_on_unsafebench_schema(fixtures, tmp_path):
     """The train CLI sniffs the pointwise format and runs the CLS objective
     end-to-end (smoke mode, tiny random config), ignoring the UnsafeBench
