@@ -659,9 +659,10 @@ _DEFAULT_EST = {
     "fwd_bf16": 200, "fwd_int8": 220, "train": 130,
     "qwen_int8": 170, "llava_int8": 300, "e2e": 300,
 }
-# most-important first: the headline bf16/int8 numbers, the training
-# throughput (VERDICT r3 item 5), then the other families, then e2e
-_PRIORITY = ("fwd_bf16", "fwd_int8", "train", "qwen_int8", "llava_int8", "e2e")
+# never-yet-driver-reported metrics FIRST (VERDICT r4 item 1: llava_int8 and
+# e2e starved two rounds straight when the headline metrics ran first under a
+# cold cache), then the headline bf16/int8 numbers, train, qwen
+_PRIORITY = ("llava_int8", "e2e", "fwd_bf16", "fwd_int8", "train", "qwen_int8")
 _DUR_FILE = os.path.join(
     os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache"),
     "bench_durations.json",

@@ -27,7 +27,10 @@ def main():
     p.add_argument("--micro_batch_size", type=int, default=8)
     p.add_argument("--seq_len", "--max_len", type=int, default=2944)
     p.add_argument("--num_workers", type=int, default=8)
-    p.add_argument("--ft_projector", action="store_true", default=True)
+    # the reference loads the projector conditionally
+    # (reward_adaptor_loader.py:98-104): --no-ft_projector skips it
+    p.add_argument("--ft_projector", action=argparse.BooleanOptionalAction,
+                   default=True)
     p.add_argument("--profile_dir", default=None)
     p.add_argument("--attn_impl", default="auto", choices=["auto", "pallas", "xla"])
     p.add_argument("--load_in_8bit", action="store_true", default=False,

@@ -27,9 +27,19 @@ def setup_distributed(
     process_id: Optional[int] = None,
 ) -> None:
     """Multi-host init; a no-op for single-process runs. On Cloud TPU all
-    arguments are discovered from the metadata server."""
+    arguments are discovered from the metadata server. Non-TPU launchers
+    (and the 2-process CI test) can pass them via LRT_COORDINATOR /
+    LRT_NUM_PROCESSES / LRT_PROCESS_ID env vars — the analog of the
+    reference's torchrun env plumbing (deepspeed.py:97-111)."""
+    import os
+
     import jax
 
+    coordinator_address = coordinator_address or os.environ.get("LRT_COORDINATOR")
+    if num_processes is None and os.environ.get("LRT_NUM_PROCESSES"):
+        num_processes = int(os.environ["LRT_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("LRT_PROCESS_ID"):
+        process_id = int(os.environ["LRT_PROCESS_ID"])
     if num_processes is not None and num_processes > 1 or coordinator_address:
         jax.distributed.initialize(
             coordinator_address=coordinator_address,

@@ -308,10 +308,24 @@ def load_reward_adaptor(
     rcfg = load_reward_config(pm_path)
     sd = load_torch_state_dict(pretrain)
 
+    # ft-phi full-checkpoint mode (batch_inference_rm_ft_phi.py:28-55):
+    # pretrain IS the artifact (the dir, or its pytorch_model.bin directly —
+    # load_torch_state_dict accepts both), so the one .bin legitimately holds
+    # backbone AND reward-head keys. Only then may the base strict check
+    # ignore the head keys (ADVICE r4: a genuine separate base checkpoint
+    # with stale head keys must still be flagged).
+    full_ckpt = os.path.realpath(pretrain) in (
+        os.path.realpath(pm_path),
+        os.path.realpath(os.path.join(pm_path, "pytorch_model.bin")),
+    )
+    cfg_dir = os.path.dirname(pretrain) if os.path.isfile(pretrain) else pretrain
+
     if model_type == "phi3v":
-        cfg = phi3v_config_from_pretrain(pretrain)
+        cfg = phi3v_config_from_pretrain(cfg_dir)
         cfg = _infer_vision_geometry(cfg, sd)
-        backbone = params_from_hf_state_dict(sd, cfg, dtype=dtype, strict=strict)
+        backbone = params_from_hf_state_dict(
+            sd, cfg, dtype=dtype, strict=strict, ignore_head_keys=full_ckpt
+        )
         decoder_cfg = cfg.decoder
         layers_tree = backbone["decoder"]["layers"]
         default_targets = ("qkv_proj", "o_proj", "gate_up_proj", "down_proj")
@@ -319,8 +333,10 @@ def load_reward_adaptor(
         from ..io.hf_qwen import params_from_hf_state_dict as qwen_params
         from ..lora.lora import QWEN_TARGETS
 
-        cfg = qwen_config_from_pretrain(pretrain)
-        backbone = qwen_params(sd, cfg, dtype=dtype, strict=strict)
+        cfg = qwen_config_from_pretrain(cfg_dir)
+        backbone = qwen_params(
+            sd, cfg, dtype=dtype, strict=strict, ignore_head_keys=full_ckpt
+        )
         decoder_cfg = cfg.text
         layers_tree = backbone["text"]["layers"]
         default_targets = QWEN_TARGETS
@@ -328,8 +344,10 @@ def load_reward_adaptor(
         from ..io.hf_llava import params_from_hf_state_dict as llava_params
         from ..lora.lora import QWEN_TARGETS
 
-        cfg = llava_config_from_pretrain(pretrain)
-        backbone = llava_params(sd, cfg, dtype=dtype, strict=strict)
+        cfg = llava_config_from_pretrain(cfg_dir)
+        backbone = llava_params(
+            sd, cfg, dtype=dtype, strict=strict, ignore_head_keys=full_ckpt
+        )
         decoder_cfg = cfg.text
         layers_tree = backbone["text"]["layers"]
         default_targets = QWEN_TARGETS
@@ -409,13 +427,10 @@ def load_reward_adaptor(
 
     from ..io.artifact import check_artifact_keys
 
-    # ft-phi full-checkpoint mode (batch_inference_rm_ft_phi.py:28-55):
-    # pretrain IS pm_path, so the artifact bin legitimately holds the whole
-    # backbone alongside the head keys. The base load above already
-    # strict-checked every key of that file (head keys excepted via
-    # REWARD_HEAD_PATTERNS), so the artifact-shape check is both redundant
-    # and wrong there — skip it.
-    if os.path.realpath(pretrain) != os.path.realpath(pm_path):
+    # In full-checkpoint mode the base load above already strict-checked
+    # every key of the artifact bin (head keys excepted), so the
+    # artifact-shape check is both redundant and wrong there — skip it.
+    if not full_ckpt:
         check_artifact_keys(pm_path, strict=strict)
     head = load_head_params(pm_path, rcfg, dtype=dtype)
     if ft_projector:

@@ -45,7 +45,7 @@ def _normalise_keys(sd: Dict[str, np.ndarray]) -> Dict[str, np.ndarray]:
 
 def params_from_hf_state_dict(
     sd: Dict[str, np.ndarray], cfg: LlavaNextConfig, dtype=np.float32,
-    strict: bool = True,
+    strict: bool = True, ignore_head_keys: bool = False,
 ) -> dict:
     from .torch_io import TrackedStateDict, check_fully_consumed
 
@@ -157,6 +157,8 @@ def params_from_hf_state_dict(
         tree["lm_head"] = _t(get("lm_head.weight"))
     from .torch_io import REWARD_HEAD_PATTERNS
 
-    check_fully_consumed(sd, strict=strict, what="llava base checkpoint",
-                         ignore=REWARD_HEAD_PATTERNS)
+    check_fully_consumed(
+        sd, strict=strict, what="llava base checkpoint",
+        ignore=REWARD_HEAD_PATTERNS if ignore_head_keys else (),
+    )
     return tree

@@ -41,12 +41,17 @@ def _t(x: np.ndarray) -> np.ndarray:
 
 def params_from_hf_state_dict(
     sd: Dict[str, np.ndarray], cfg: Phi3VConfig, dtype=np.float32,
-    strict: bool = True,
+    strict: bool = True, ignore_head_keys: bool = False,
 ) -> dict:
     """Build the phi3v param tree (models/phi3v.py layout) from an HF state
     dict. Missing weights raise KeyError with context; keys the mapping never
     reads raise ValueError unless ``strict=False`` (then they log a warning) —
-    mirroring strict load_state_dict (eval/reward_adaptor_loader.py:46-63)."""
+    mirroring strict load_state_dict (eval/reward_adaptor_loader.py:46-63).
+
+    ``ignore_head_keys``: only the ft-phi full-checkpoint mode sets this (the
+    artifact bin legitimately holds reward-head keys next to the backbone);
+    a genuine separate base checkpoint keeps the strict check intact so stale
+    head keys are flagged, not silently dropped (ADVICE r4)."""
     from .torch_io import TrackedStateDict, check_fully_consumed
 
     sd = TrackedStateDict(sd)
@@ -157,7 +162,7 @@ def params_from_hf_state_dict(
     check_fully_consumed(
         sd, strict=strict, what="phi3v base checkpoint",
         ignore=(r"^model\.vision_embed_tokens\.wte\.weight$",)
-        + REWARD_HEAD_PATTERNS,
+        + (REWARD_HEAD_PATTERNS if ignore_head_keys else ()),
     )
     return tree
 

@@ -214,13 +214,25 @@ def global_batch_from_local(local_batch, mesh: Mesh):
         return shard_batch(local_batch, mesh)
     from jax.experimental import multihost_utils
 
-    def to_global(x):
+    def to_global(x, batch_axis=0):
         x = np.asarray(x)
-        spec = (
-            P()
-            if x.ndim == 0
-            else P(("dp", "fsdp"), *([None] * (x.ndim - 1)))
-        )
+        if x.ndim == 0:
+            spec = P()
+        else:
+            dims = [None] * x.ndim
+            dims[batch_axis] = ("dp", "fsdp")
+            spec = P(*dims)
         return multihost_utils.host_local_array_to_global_array(x, mesh, spec)
 
+    from ..reward.model import RewardBatch
+
+    if isinstance(local_batch, RewardBatch):
+        fields = {}
+        for name, value in zip(local_batch._fields, local_batch):
+            # M-RoPE position ids are (3, B, S): batch axis 1 (shard_batch)
+            axis = 1 if name == "position_ids" else 0
+            fields[name] = jax.tree_util.tree_map(
+                lambda x, a=axis: to_global(x, a), value
+            )
+        return RewardBatch(**fields)
     return jax.tree_util.tree_map(to_global, local_batch)

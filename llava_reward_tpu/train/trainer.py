@@ -103,6 +103,30 @@ class RewardTrainer:
         # so the reference's PEFT load_adapter wraps the right modules
         # (ADVICE r1: qwen/llava runs must not advertise phi3 targets)
         self.lora_targets = lora_targets
+        # eval score fn is built ONCE and reused across evaluate() ticks —
+        # a fresh jax.jit closure per call would retrace (and at full size,
+        # recompile for minutes) on every eval cadence tick (VERDICT r4 #5)
+        self._score_fn = None
+        # last logged train metrics (the reference returns its logs_dict);
+        # lets callers/tests read the loss without scraping log output
+        self.last_train_logs: Dict[str, float] = {}
+        if save_best_model and eval_loader is None and eval_steps == -1:
+            logger.warning(
+                "--save_best_model is inert: no eval loader and eval_steps=-1 "
+                "means evaluate() never runs, so <save_path>/best never fires"
+            )
+
+    def _get_score_fn(self):
+        if self._score_fn is None:
+            from ..reward.model import reward_forward
+
+            cfg, rcfg = self.cfg, self.rcfg
+            self._score_fn = jax.jit(
+                lambda p, l, vl, batch: reward_forward(
+                    p, cfg, rcfg, batch, training=False, lora=l, vision_lora=vl
+                ).reward
+            )
+        return self._score_fn
 
     # ------------------------------------------------------------ fit
 
@@ -158,6 +182,7 @@ class RewardTrainer:
                         "grad_norm": float(metrics.get("grad_norm", 0.0)),
                         "step_time_s": dt / self.logging_steps,
                     }
+                    self.last_train_logs = dict(logs, global_step=global_step)
                     logger.info(
                         "epoch %d step %d %s", epoch, global_step,
                         " ".join(f"{k}={v:.4f}" for k, v in logs.items()),
@@ -191,18 +216,12 @@ class RewardTrainer:
         if self.eval_loader is None:
             return {}
         from .train_step import PROJECTOR_PATHS, assemble_params
-        from ..reward.model import reward_forward
 
         params, lora, vision_lora = assemble_params(
             self.frozen, self.state.trainable, PROJECTOR_PATHS[self.model_type]
         )
-        cfg, rcfg = self.cfg, self.rcfg
-
-        @jax.jit
-        def score(p, l, vl, batch):
-            return reward_forward(
-                p, cfg, rcfg, batch, training=False, lora=l, vision_lora=vl
-            ).reward
+        rcfg = self.rcfg
+        score = self._get_score_fn()
 
         if self.cls_based:
             # pointwise (cls) eval: sigmoid(reward) vs binary labels, same
@@ -286,10 +305,45 @@ class RewardTrainer:
 
     # ------------------------------------------------------------ saving
 
+    @staticmethod
+    def _sync_hosts(tag: str):
+        """Barrier so non-writer processes don't race past rank 0's file
+        writes (e.g. into jax.distributed.shutdown); no-op single-process."""
+        if jax.process_count() > 1:
+            from jax.experimental import multihost_utils
+
+            multihost_utils.sync_global_devices(tag)
+
+    @staticmethod
+    def _fetch_host(tree):
+        """Host-fetch a param tree; multi-host-safe. Globally fsdp-sharded
+        arrays span non-addressable devices and cannot be device_get --
+        allgather them to fully-replicated numpy first (the analog of the
+        reference's ZeRO-3 gather-before-save, deepspeed.py:333-359)."""
+        if jax.process_count() == 1:
+            return jax.device_get(tree)
+        from jax.experimental import multihost_utils
+
+        # tiled=True is required for global non-fully-addressable arrays
+        # (and is a no-op reshape for already-replicated ones)
+        return multihost_utils.process_allgather(tree, tiled=True)
+
     def save_artifact(self, path: str):
         """Write the reference-compatible artifact (deepspeed.py:333-417):
-        pytorch_model.bin (heads + projector) + lora/ + reward_config.yaml."""
-        trainable = jax.device_get(self.state.trainable)
+        pytorch_model.bin (heads + projector) + lora/ + reward_config.yaml.
+        Multi-host: every process participates in the gather, rank 0 writes
+        (the reference's rank-0 torch.save, deepspeed.py:414-417)."""
+        trainable = self._fetch_host(self.state.trainable)
+        # collectives must run on every process in the same order: prefetch
+        # the frozen lm_head (full-FT export) BEFORE the rank gate
+        frozen_bb = (
+            self._fetch_host(self.frozen.get("backbone", {}))
+            if trainable.get("backbone") is not None
+            else None
+        )
+        if jax.process_index() != 0:
+            self._sync_hosts("save_artifact")
+            return
         head = trainable["head"]
         lora_state = None
         lora_config = None
@@ -344,7 +398,6 @@ class RewardTrainer:
                 from ..io.hf_phi3v import hf_state_dict_from_params
 
                 sd = hf_state_dict_from_params(trainable["backbone"], self.cfg)
-                frozen_bb = jax.device_get(self.frozen.get("backbone", {}))
                 if "lm_head" in frozen_bb:
                     import numpy as _np
 
@@ -363,8 +416,11 @@ class RewardTrainer:
                     "full-FT export only implemented for phi3v; backbone not saved"
                 )
         logger.info("saved reward artifact to %s", path)
+        self._sync_hosts("save_artifact")
 
     def clean_old_checkpoints(self, max_ckpt_mem_gb: float = None):
+        if jax.process_index() != 0:
+            return
         """Keep the newest max_ckpt_num step dirs (rm_trainer…py:370-378),
         plus the size-based rotation of save_ckpt (deepspeed.py:496-511)."""
         if not os.path.isdir(self.save_path):
@@ -398,16 +454,18 @@ class RewardTrainer:
 
     def save_train_ckpt(self, path: str):
         """Engine-state checkpoint (save_ckpt equivalent, deepspeed.py:467) —
-        actually wired, via orbax."""
+        actually wired, via orbax. Multi-host: the global jax.Arrays are
+        handed to orbax directly — every process writes its addressable
+        shards and orbax coordinates the commit (no host gather needed)."""
         import orbax.checkpoint as ocp
 
+        state = {"step": self.state.step, "trainable": self.state.trainable,
+                 "opt_state": self.state.opt_state}
+        if jax.process_count() == 1:
+            state = jax.device_get(state)
         ckptr = ocp.StandardCheckpointer()
         ckptr.save(
-            os.path.abspath(os.path.join(path, "train_state")),
-            jax.device_get(
-                {"step": self.state.step, "trainable": self.state.trainable,
-                 "opt_state": self.state.opt_state}
-            ),
+            os.path.abspath(os.path.join(path, "train_state")), state,
             force=True,
         )
         ckptr.wait_until_finished()
@@ -416,10 +474,19 @@ class RewardTrainer:
         import orbax.checkpoint as ocp
 
         ckptr = ocp.StandardCheckpointer()
-        target = jax.device_get(
-            {"step": self.state.step, "trainable": self.state.trainable,
-             "opt_state": self.state.opt_state}
-        )
+        state = {"step": self.state.step, "trainable": self.state.trainable,
+                 "opt_state": self.state.opt_state}
+        if jax.process_count() == 1:
+            target = jax.device_get(state)
+        else:
+            # abstract target carrying each array's sharding: orbax restores
+            # straight to globally-sharded jax.Arrays, shard-local reads only
+            target = jax.tree_util.tree_map(
+                lambda x: jax.ShapeDtypeStruct(x.shape, x.dtype, sharding=x.sharding)
+                if isinstance(x, jax.Array)
+                else x,
+                state,
+            )
         restored = ckptr.restore(
             os.path.abspath(os.path.join(path, "train_state")), target
         )

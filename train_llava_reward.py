@@ -33,7 +33,7 @@ def train(args):
     from llava_reward_tpu.lora.lora import init_lora, init_vision_lora
     from llava_reward_tpu.parallel.sharding import (
         create_mesh,
-        shard_batch,
+        global_batch_from_local,
         shard_params,
     )
     from llava_reward_tpu.reward import init_head_params
@@ -96,6 +96,11 @@ def train(args):
             pad_token_id = dec.pad_token_id
 
             def __call__(self, text):
+                # zlib.crc32, NOT hash(): str hash is PYTHONHASHSEED-random
+                # per process, which would break cross-process data parity
+                # (multi-host training tokenizes each host's rows locally)
+                import zlib
+
                 ids = []
                 for t in text.split():
                     if t in ("<|image_1|>", "<img>", "<image>") and hasattr(
@@ -103,7 +108,7 @@ def train(args):
                     ):
                         ids.append(dec.image_token_id)
                     else:
-                        ids.append(hash(t) % 500 + 3)
+                        ids.append(zlib.crc32(t.encode()) % 500 + 3)
                 return {"input_ids": ids}
 
             def apply_chat_template(self, msgs, tokenize=False, add_generation_prompt=True):
@@ -193,14 +198,24 @@ def train(args):
     train_ds = ds_cls(train_rows, processor, tokenizer, args.image_root)
     eval_ds = ds_cls(eval_rows, processor, tokenizer, args.image_root) if eval_rows else None
 
-    batch_size = args.micro_train_batch_size * n_data
+    # multi-host (pod) data path: every process loads ITS shard of the rows
+    # (GroupSampler over process ranks — the reference's per-rank
+    # DistributedSampler, deepspeed.py:150-171) and feeds a LOCAL batch of
+    # global_batch/process_count rows; global_batch_from_local stitches the
+    # local shards into one globally-sharded array per leaf.
+    n_proc = jax.process_count()
+    assert n_data % n_proc == 0, (
+        f"data-parallel ways ({n_data}) must divide evenly over "
+        f"{n_proc} processes"
+    )
+    local_batch_size = args.micro_train_batch_size * (n_data // n_proc)
     sampler = GroupSampler(
-        len(train_ds), num_replicas=1, rank=0, shuffle=True, seed=args.seed,
-        group_size=args.group_size,
+        len(train_ds), num_replicas=n_proc, rank=jax.process_index(),
+        shuffle=True, seed=args.seed, group_size=args.group_size,
     )
     pad_id = family.decoder_cfg(cfg).pad_token_id
     train_loader = PrefetchLoader(
-        train_ds, sampler, batch_size,
+        train_ds, sampler, local_batch_size,
         collate_fn=lambda items: train_ds.collate(items, args.seq_len, pad_id),
         num_workers=args.num_workers,
     )
@@ -209,8 +224,11 @@ def train(args):
     if eval_ds is not None:
         eval_loader = PrefetchLoader(
             eval_ds,
-            GroupSampler(len(eval_ds), shuffle=False),
-            batch_size,
+            GroupSampler(
+                len(eval_ds), num_replicas=n_proc, rank=jax.process_index(),
+                shuffle=False,
+            ),
+            local_batch_size,
             collate_fn=lambda items: eval_ds.collate(items, args.seq_len, pad_id),
             num_workers=args.num_workers,
             drop_last=False,
@@ -273,7 +291,9 @@ def train(args):
             lora_rank=args.lora_rank, lora_alpha=args.lora_alpha,
             lora_dropout=args.lora_dropout, wandb_logger=wandb_logger,
             mesh=mesh,
-            shard_batch_fn=lambda b: shard_batch(b, mesh),
+            # single-process this degenerates to shard_batch; multi-host it
+            # stitches each host's local rows into the global batch
+            shard_batch_fn=lambda b: global_batch_from_local(b, mesh),
             save_best_model=bool(args.save_best_model),
             model_type=args.model_type,
             lora_targets=(
@@ -289,6 +309,7 @@ def train(args):
             trainer.load_train_ckpt(args.ckpt_path)
         trainer.fit()
         trainer.save_train_ckpt(args.ckpt_path)
+    return trainer
 
 
 if __name__ == "__main__":
