@@ -303,7 +303,38 @@ def _lin(x, p):
     return out
 
 
+def fuse_decoder_projections(layers: dict) -> dict:
+    """Fuse separate q/k/v -> qkv_proj and gate/up -> gate_up_proj in a
+    stacked decoder-layer tree — the inference fast-path layout consumed by
+    _decoder_layer's fused branch (one matmul + one W8A8 activation-quantize
+    pass instead of three, feeding the fused Pallas attention straight from
+    the projection output).
+
+    Handles dense kernels (+bias) and quantized leaf-dicts: W8A8 / packed
+    int4 codes and their per-out-column scales all concatenate along the out
+    axis, so fusing after quantization is exact. Call AFTER any LoRA merge —
+    the fused branch applies no adapters (the trainer keeps the separate
+    layout)."""
+
+    def cat(parts):
+        if isinstance(parts[0], dict):
+            return {k: cat([p[k] for p in parts]) for k in parts[0]}
+        if any(isinstance(p, jnp.ndarray) for p in parts):
+            return jnp.concatenate(parts, axis=-1)
+        return np.concatenate(parts, axis=-1)
+
+    out = dict(layers)
+    if all(n in out for n in ("q_proj", "k_proj", "v_proj")):
+        out["qkv_proj"] = cat(
+            [out.pop("q_proj"), out.pop("k_proj"), out.pop("v_proj")]
+        )
+    if all(n in out for n in ("gate_proj", "up_proj")):
+        out["gate_up_proj"] = cat([out.pop("gate_proj"), out.pop("up_proj")])
+    return out
+
+
 def _decoder_layer(h, lp, tc: QwenTextConfig, cos, sin, attention_mask, attn_impl, lora_layer):
+    from ..ops.attention import fused_rope_attention
     from ..utils.quantize import dequant_layer
 
     lp = dequant_layer(lp, h.dtype)  # no-op unless weight-only quantized
@@ -312,26 +343,43 @@ def _decoder_layer(h, lp, tc: QwenTextConfig, cos, sin, attention_mask, attn_imp
 
     residual = h
     x = rms_norm(h, lp["input_layernorm"], tc.rms_norm_eps)
-    q = _maybe_lora(x, _lin(x, lp["q_proj"]), lora_layer, "q_proj")
-    k = _maybe_lora(x, _lin(x, lp["k_proj"]), lora_layer, "k_proj")
-    v = _maybe_lora(x, _lin(x, lp["v_proj"]), lora_layer, "v_proj")
-    q = q.reshape(B, S, nh, hd)
-    k = k.reshape(B, S, nkv, hd)
-    v = v.reshape(B, S, nkv, hd)
-    c, s = cos[:, :, None, :], sin[:, :, None, :]
-    q = q * c + _rotate_half(q) * s
-    k = k * c + _rotate_half(k) * s
-    attn = mha(
-        q, k, v, causal=True, key_padding_mask=attention_mask,
-        sliding_window=tc.sliding_window, impl=attn_impl,
-    ).reshape(B, S, nh * hd)
+    if "qkv_proj" in lp:
+        # fused-projection inference layout (fuse_decoder_projections):
+        # ONE matmul (one activation-quantize pass under W8A8) feeding the
+        # fused Pallas attention path — in-kernel rope, zero layout
+        # transposes (direct kernel for MHA/vicuna, prep kernel for GQA).
+        # LoRA never rides here: the adaptor merges adapters before fusing.
+        qkv = _lin(x, lp["qkv_proj"])
+        attn = fused_rope_attention(
+            qkv, cos, sin, n_heads=nh, n_kv_heads=nkv, head_dim=hd,
+            causal=True, key_padding_mask=attention_mask,
+            sliding_window=tc.sliding_window, impl=attn_impl,
+        )
+    else:
+        q = _maybe_lora(x, _lin(x, lp["q_proj"]), lora_layer, "q_proj")
+        k = _maybe_lora(x, _lin(x, lp["k_proj"]), lora_layer, "k_proj")
+        v = _maybe_lora(x, _lin(x, lp["v_proj"]), lora_layer, "v_proj")
+        q = q.reshape(B, S, nh, hd)
+        k = k.reshape(B, S, nkv, hd)
+        v = v.reshape(B, S, nkv, hd)
+        c, s = cos[:, :, None, :], sin[:, :, None, :]
+        q = q * c + _rotate_half(q) * s
+        k = k * c + _rotate_half(k) * s
+        attn = mha(
+            q, k, v, causal=True, key_padding_mask=attention_mask,
+            sliding_window=tc.sliding_window, impl=attn_impl,
+        ).reshape(B, S, nh * hd)
     attn = _maybe_lora(attn, _lin(attn, lp["o_proj"]), lora_layer, "o_proj")
     h = residual + attn
 
     residual = h
     x = rms_norm(h, lp["post_attention_layernorm"], tc.rms_norm_eps)
-    gate = _maybe_lora(x, _lin(x, lp["gate_proj"]), lora_layer, "gate_proj")
-    up = _maybe_lora(x, _lin(x, lp["up_proj"]), lora_layer, "up_proj")
+    if "gate_up_proj" in lp:
+        gate_up = _lin(x, lp["gate_up_proj"])
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+    else:
+        gate = _maybe_lora(x, _lin(x, lp["gate_proj"]), lora_layer, "gate_proj")
+        up = _maybe_lora(x, _lin(x, lp["up_proj"]), lora_layer, "up_proj")
     mlp = silu(gate) * up
     mlp = _maybe_lora(mlp, _lin(mlp, lp["down_proj"]), lora_layer, "down_proj")
     return residual + mlp

@@ -939,19 +939,26 @@ def rope_transpose(
 def fused_path_supported(
     S: int, n_heads: int, n_kv_heads: int, head_dim: int
 ) -> bool:
-    """The fused qkv attention path needs: head groups whose column width is
-    a 128 multiple, an S that divides into prep blocks AND into flash q
-    blocks, and head_dim lane-compatible without padding."""
+    """The fused qkv attention path needs head groups whose column width is
+    a 128 multiple and head_dim lane-compatible without padding. Any S is
+    accepted: sequences that don't divide into prep/flash blocks are
+    end-padded inside the impl (q_len masks the pad keys, the pad q rows are
+    sliced off) — e.g. llava's 2976 pads to 3072."""
     if _prep_group_size(n_heads, head_dim) is None:
         return False
     if n_kv_heads != n_heads and _prep_group_size(n_kv_heads, head_dim) is None:
         return False
-    if _prep_block_s(S) is None:
-        return False
-    if head_dim % 32 != 0:
-        return False
-    block_q = _pick_block_q(S, head_dim, n_heads // n_kv_heads, 2)
-    return S % block_q == 0 or S % 256 == 0 or S % 64 == 0
+    return head_dim % 32 == 0
+
+
+def _fused_s_pad(S: int) -> int:
+    """Padded sequence length for the fused path: keep S when it already
+    divides cleanly (64-aligned q blocks + a prep block size exist — the
+    pre-round-5 support condition), else round up to a 256 multiple, which
+    guarantees both."""
+    if S % 64 == 0 and _prep_block_s(S) is not None:
+        return S
+    return _round_up(S, 256)
 
 
 # --------------------------------------------------------------------------
@@ -1198,16 +1205,31 @@ def _fused_qkv_attention_fwd_impl(
     D = head_dim
     qsz = n_heads * D
     kvsz = n_kv_heads * D
+    # sequences that don't block-divide (llava anyres: 2976) are end-padded;
+    # q_len masks the pad keys in-kernel, the pad q rows are sliced off.
+    # End-padding (not front) keeps every valid token's causal position.
+    S_orig = S
+    S_pad = _fused_s_pad(S)
+    if S_pad != S:
+        pad = [(0, 0), (0, S_pad - S), (0, 0)]
+        qkv = jnp.pad(qkv, pad)
+        cos = jnp.pad(jnp.broadcast_to(cos, (B, S, D)), pad)
+        sin = jnp.pad(jnp.broadcast_to(sin, (B, S, D)), pad)
+        if key_mask is not None:
+            key_mask = jnp.pad(key_mask, [(0, 0), (0, S_pad - S)])
+        S = S_pad
     if _direct_path_supported(S, n_heads, n_kv_heads, D, key_mask, sliding_window):
         g = _direct_group(n_heads, D)
         # tiny grids (small batch training recompute) pipeline poorly in
         # the g-head direct kernel; the per-head prep path wins there
         if B * (n_heads // g) >= 32:
-            return _fused_qkv_attention_direct(
+            out = _fused_qkv_attention_direct(
                 qkv, cos, sin, kv_start,
                 n_heads=n_heads, head_dim=D, causal=causal,
                 sliding_window=sliding_window, scale=scale,
+                valid_len=S_orig if S_orig != S else None,
             )
+            return out[:, :S_orig] if S_orig != S else out
     qt = rope_transpose(qkv, cos, sin, col_offset=0, n_heads=n_heads, head_dim=D)
     kt = rope_transpose(qkv, cos, sin, col_offset=qsz, n_heads=n_kv_heads, head_dim=D)
     vt = rope_transpose(qkv, None, None, col_offset=qsz + kvsz,
@@ -1218,9 +1240,10 @@ def _fused_qkv_attention_fwd_impl(
         block_q -= 64
     out = _flash_fwd_hm(
         qt, kt, vt, kv_start, key_mask, causal, sliding_window, scale,
-        q_len=S, block_q=block_q,
+        q_len=S_orig, block_q=block_q,
     )  # (B, H, S, D)
-    return out.transpose(0, 2, 1, 3).reshape(B, S, qsz)
+    out = out.transpose(0, 2, 1, 3).reshape(B, S, qsz)
+    return out[:, :S_orig] if S_orig != S else out
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(5, 6, 7, 8, 9, 10))

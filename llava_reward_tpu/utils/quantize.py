@@ -275,12 +275,35 @@ def quantize_stacked_layers(
     return {name: walk(v, name) for name, v in layers.items()}
 
 
+def _unpack_i4_codes(q: jnp.ndarray) -> jnp.ndarray:
+    """Packed int4 (..., in/2, out) -> sign-extended int8 codes (..., in, out)."""
+    lo = (q << 4).astype(jnp.int8) >> 4
+    hi = q >> 4
+    return jnp.stack([lo, hi], axis=-2).reshape(
+        *q.shape[:-2], q.shape[-2] * 2, q.shape[-1]
+    )
+
+
 def dequant_layer(lp: dict, dtype=jnp.bfloat16) -> dict:
     """Per-layer-slice dequant inside the scan body: any {'qvalues', ...}
-    sub-dict becomes a dense array of ``dtype``."""
+    sub-dict becomes a dense array of ``dtype``.
+
+    int4 absmax leaves RUN as W8A8 by default (LRT_I4_W8A8=0 opts out): the
+    int4 grid is a subset of int8 codes, so unpacking nibbles to int8 codes
+    (instead of converting to bf16) keeps the packed 0.5-byte HBM residency
+    while the matmul itself runs on the v5e's 394-TOPS int8 path — ~2x the
+    bf16 rate on llava-13B's attention projections. Weight values are
+    EXACTLY preserved (code x scale unchanged); the only numerics delta is
+    the W8A8 dynamic activation quantization, the same error class the int8
+    MLP path already carries."""
+    import os
+
+    i4_w8a8 = os.environ.get("LRT_I4_W8A8", "1") != "0"
 
     def walk(v):
         if is_quantized(v):
+            if i4_w8a8 and _Q4 in v:
+                return {_Q8A: _unpack_i4_codes(v[_Q4]), "scale": v["scale"]}
             return dequantize_array(v, dtype)
         if isinstance(v, dict):
             return {k: walk(x) for k, x in v.items()}

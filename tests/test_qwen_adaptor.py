@@ -125,9 +125,12 @@ def test_qwen_adaptor_end_to_end(tmp_path, rng):
     assert adaptor.cfg.text.num_layers == 2
     assert adaptor.cfg.text.mrope_section == tuple(tc.mrope_section)
 
-    # lora merged: kernels differ from the raw base
-    merged = adaptor.params["backbone"]["text"]["layers"]["q_proj"]["kernel"]
-    assert not np.allclose(merged, params["text"]["layers"]["q_proj"]["kernel"])
+    # lora merged: kernels differ from the raw base (the adaptor fuses
+    # q/k/v -> qkv_proj for the inference fast path; q is the first slice)
+    lay = adaptor.params["backbone"]["text"]["layers"]
+    assert "q_proj" not in lay and "qkv_proj" in lay
+    merged_q = lay["qkv_proj"]["kernel"][..., : tc.q_size]
+    assert not np.allclose(merged_q, params["text"]["layers"]["q_proj"]["kernel"])
 
     # forward works (text-only)
     from llava_reward_tpu.reward.model import RewardBatch, reward_forward
@@ -159,7 +162,8 @@ def test_qwen_adaptor_end_to_end(tmp_path, rng):
                               quantize_min_size=0)
     a_q.rcfg.layer_id = cfg.text.num_layers
     lay_q = a_q.params["backbone"]["text"]["layers"]
-    assert is_w8a8(lay_q["q_proj"]["kernel"])
+    assert is_w8a8(lay_q["qkv_proj"]["kernel"])
+    assert is_w8a8(lay_q["gate_up_proj"]["kernel"])
     assert is_w8a8(lay_q["down_proj"]["kernel"])
     blocks_q = a_q.params["backbone"]["visual"]["blocks"]
     assert not is_w8a8(blocks_q["qkv"]["kernel"])
