@@ -11,6 +11,7 @@ the device while step N computes.
 from __future__ import annotations
 
 import queue
+import sys
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from typing import Any, Callable, Iterable, Iterator, Optional
@@ -64,6 +65,11 @@ class PrefetchLoader:
                     continue
             return False
 
+        import os
+        import time as _time
+
+        trace = os.environ.get("LRT_LOADER_TRACE") == "1"
+
         def produce():
             try:
                 with ThreadPoolExecutor(self.num_workers) as pool:
@@ -76,7 +82,9 @@ class PrefetchLoader:
                     for bi in range(len(batches)):
                         if stop.is_set():
                             return
+                        t0 = _time.perf_counter()
                         items = [f.result() for f in futures[bi]]
+                        t1 = _time.perf_counter()
                         if next_batch < len(batches):
                             futures.append(
                                 [
@@ -86,7 +94,16 @@ class PrefetchLoader:
                             )
                             next_batch += 1
                         host = self.collate_fn(items)
+                        t2 = _time.perf_counter()
                         dev = self.device_put(host) if self.device_put else host
+                        t3 = _time.perf_counter()
+                        if trace:
+                            print(
+                                f"[loader] batch {bi}: decode-wait "
+                                f"{t1 - t0:.3f}s collate {t2 - t1:.3f}s "
+                                f"device_put {t3 - t2:.3f}s",
+                                file=sys.stderr, flush=True,
+                            )
                         if not put_or_stop(("item", dev)):
                             return
                 put_or_stop(("done", None))

@@ -11,6 +11,8 @@ optional jax.profiler trace.
 
 from __future__ import annotations
 
+import os
+import sys
 import time
 from typing import Dict, Optional, Sequence
 
@@ -195,11 +197,16 @@ def batch_rm_inference(
 
     probs, rewards, labels = [], [], []
     fwd_times = []
+    trace = os.environ.get("LRT_LOADER_TRACE") == "1"
+    t_end = time.perf_counter()
     if profile_dir:
         jax.profiler.start_trace(profile_dir)
     try:
         for batch in loader:
             t0 = time.perf_counter()
+            if trace:
+                print(f"[infer] queue-wait {t0 - t_end:.3f}s",
+                      file=sys.stderr, flush=True)
             if pairwise:
                 chosen, rejected, c_rate, r_rate = batch
                 cb, rb = to_reward_batch(chosen), to_reward_batch(rejected)
@@ -262,19 +269,29 @@ def batch_rm_inference(
                         tau=adaptor.rcfg.general_preference_tau,
                     )
 
+                t_stack = time.perf_counter()
                 p = _jit_once(
                     ("pref", adaptor.rcfg.is_general_preference,
                      adaptor.rcfg.value_head_dim,
                      adaptor.rcfg.general_preference_tau),
                     _pref,
                 )(score(params, stacked))
+                t_disp = time.perf_counter()
                 probs.extend(np.asarray(p).tolist())
+                if trace:
+                    print(
+                        f"[infer] stack {t_stack - t0:.3f}s dispatch "
+                        f"{t_disp - t_stack:.3f}s fetch-barrier "
+                        f"{time.perf_counter() - t_disp:.3f}s",
+                        file=sys.stderr, flush=True,
+                    )
             else:
                 b, y = batch
                 r = np.asarray(score(params, to_reward_batch(b)))[:, 0]
                 rewards.extend(r.tolist())
                 labels.extend(np.asarray(y).astype(int).tolist())
-            fwd_times.append(time.perf_counter() - t0)
+            t_end = time.perf_counter()
+            fwd_times.append(t_end - t0)
             if progress:
                 done = len(probs) or len(rewards)
                 print(f"\rscored {done}/{len(ds)}", end="", flush=True)

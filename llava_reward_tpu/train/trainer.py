@@ -410,6 +410,38 @@ class RewardTrainer:
                     sd, os.path.join(path, "full_model", "pytorch_model.bin"),
                     torch.bfloat16,
                 )
+                # self-describing export (save_pretrained always writes
+                # config.json): the eval adaptor reads decoder geometry from
+                # it (vision geometry is weight-inferred), so a tiny-config
+                # full-FT artifact round-trips through the eval CLI too
+                import json as _json
+
+                dc = self.cfg.decoder
+                cfg_json = {
+                    "model_type": "phi3_v",
+                    "vocab_size": dc.vocab_size,
+                    "hidden_size": dc.hidden_size,
+                    "intermediate_size": dc.intermediate_size,
+                    "num_hidden_layers": dc.num_layers,
+                    "num_attention_heads": dc.num_heads,
+                    "num_key_value_heads": dc.num_kv_heads,
+                    "rms_norm_eps": dc.rms_norm_eps,
+                    "rope_theta": dc.rope_theta,
+                    "max_position_embeddings": dc.max_position_embeddings,
+                    "original_max_position_embeddings":
+                        dc.original_max_position_embeddings,
+                    "sliding_window": dc.sliding_window,
+                    "pad_token_id": dc.pad_token_id,
+                    "eos_token_id": dc.eos_token_id,
+                }
+                if dc.rope_scaling is not None:
+                    cfg_json["rope_scaling"] = {
+                        "type": dc.rope_scaling.rope_type,
+                        "short_factor": list(dc.rope_scaling.short_factor),
+                        "long_factor": list(dc.rope_scaling.long_factor),
+                    }
+                with open(os.path.join(path, "full_model", "config.json"), "w") as f:
+                    _json.dump(cfg_json, f, indent=2)
                 logger.info("saved full fine-tuned backbone to %s/full_model", path)
             else:
                 logger.warning(

@@ -267,6 +267,9 @@ def test_trainer_exports_vision_lora(tmp_path, tiny):
     t.lora_targets = None
     t.model_type = "phi3v"
     t.frozen = {}
+    # the multi-host save path (r5): host-gather + rank-0 barrier helpers
+    t._fetch_host = RewardTrainer._fetch_host
+    t._sync_hosts = lambda *a, **k: None
     RewardTrainer.save_artifact(t, str(tmp_path / "art"))
 
     sd = load_torch_state_dict(str(tmp_path / "art" / "lora" / "adapter_model.bin"))
