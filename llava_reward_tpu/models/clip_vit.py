@@ -112,11 +112,32 @@ def _encoder_layer(
     nh, hd = cfg.num_heads, cfg.head_dim
     N, S, H = h.shape
 
-    from ..utils.quantize import is_w8a8, qmatmul
+    import os
+
+    from ..utils.quantize import int8_linear_pre, is_w8a8, qmatmul
+
+    # quantizing-LN epilogue (ops/quant_epilogue.py): when this layer's
+    # projections are W8A8 and no LoRA rides on them (merged-eval towers),
+    # the LN emits int8 codes + row scales directly — the standalone
+    # activation-quantize HBM pass that made tower-level CLIP int8 LOSE to
+    # bf16 (PERF.md int8 ledger) disappears. LRT_LN_QUANT=0 opts out.
+    use_ln_quant = (
+        lora_layer is None
+        and os.environ.get("LRT_LN_QUANT", "1") != "0"
+        and _on_tpu()
+    )
 
     residual = h
-    x = layer_norm(h, lp["ln1"]["weight"], lp["ln1"]["bias"], cfg.layer_norm_eps)
     a = lp["attn"]
+    x = None
+    if use_ln_quant and is_w8a8(a["q"]["kernel"]) and attn_impl == "fused":
+        from ..ops.quant_epilogue import ln_quant
+
+        x_codes, x_rs = ln_quant(
+            h, lp["ln1"]["weight"], lp["ln1"]["bias"], cfg.layer_norm_eps
+        )
+    else:
+        x = layer_norm(h, lp["ln1"]["weight"], lp["ln1"]["bias"], cfg.layer_norm_eps)
     if attn_impl == "fused":
         # fused qkv matmul + direct flash kernel: attention output comes
         # back in (N, S, H) with zero layout transposes; pad keys beyond
@@ -138,7 +159,10 @@ def _encoder_layer(
                 [a["q"]["kernel"], a["k"]["kernel"], a["v"]["kernel"]], axis=1
             )
         wb = jnp.concatenate([a["q"]["bias"], a["k"]["bias"], a["v"]["bias"]])
-        qkv = qmatmul(x, wk) + wb
+        if x is None:
+            qkv = int8_linear_pre(x_codes, x_rs, wk, h.dtype) + wb
+        else:
+            qkv = qmatmul(x, wk) + wb
         if lora_layer is not None:
             deltas = [_lora_delta(x, lora_layer, n) for n in ("q", "k", "v")]
             if any(not isinstance(d, float) for d in deltas):
@@ -166,11 +190,22 @@ def _encoder_layer(
     h = residual + attn_out
 
     residual = h
-    x = layer_norm(h, lp["ln2"]["weight"], lp["ln2"]["bias"], cfg.layer_norm_eps)
-    x1 = act(
-        qmatmul(x, lp["mlp"]["fc1"]["kernel"]) + lp["mlp"]["fc1"]["bias"]
-        + _lora_delta(x, lora_layer, "fc1")
-    )
+    if use_ln_quant and is_w8a8(lp["mlp"]["fc1"]["kernel"]):
+        from ..ops.quant_epilogue import ln_quant
+
+        x_codes, x_rs = ln_quant(
+            h, lp["ln2"]["weight"], lp["ln2"]["bias"], cfg.layer_norm_eps
+        )
+        x1 = act(
+            int8_linear_pre(x_codes, x_rs, lp["mlp"]["fc1"]["kernel"], h.dtype)
+            + lp["mlp"]["fc1"]["bias"]
+        )
+    else:
+        x = layer_norm(h, lp["ln2"]["weight"], lp["ln2"]["bias"], cfg.layer_norm_eps)
+        x1 = act(
+            qmatmul(x, lp["mlp"]["fc1"]["kernel"]) + lp["mlp"]["fc1"]["bias"]
+            + _lora_delta(x, lora_layer, "fc1")
+        )
     x2 = (
         qmatmul(x1, lp["mlp"]["fc2"]["kernel"]) + lp["mlp"]["fc2"]["bias"]
         + _lora_delta(x1, lora_layer, "fc2")

@@ -90,7 +90,9 @@ def decoder_layer(
     attn_impl: str,
     lora_layer: Optional[dict] = None,
 ) -> jnp.ndarray:
-    from ..utils.quantize import dequant_layer, qmatmul
+    import os
+
+    from ..utils.quantize import dequant_layer, int8_linear_pre, is_w8a8, qmatmul
 
     # weight-only quantized leaves dequantize here; w8a8 leaves pass
     # through and run on the int8 MXU path inside qmatmul
@@ -98,9 +100,29 @@ def decoder_layer(
     B, S, H = h.shape
     nh, nkv, hd = cfg.num_heads, cfg.num_kv_heads, cfg.head_dim
 
+    # quantizing-RMSNorm epilogue (ops/quant_epilogue.py): W8A8 inference
+    # layers take int8 codes + row scales straight from the norm, skipping
+    # the standalone activation-quantize pass. LRT_LN_QUANT=0 opts out.
+    def _rq(hid, gamma):
+        from ..ops.quant_epilogue import rms_quant
+
+        return rms_quant(hid, gamma, cfg.rms_norm_eps)
+
+    from .clip_vit import _on_tpu
+
+    use_rq = (
+        lora_layer is None
+        and os.environ.get("LRT_LN_QUANT", "1") != "0"
+        and _on_tpu()
+    )
+
     residual = h
-    x = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
-    qkv = _maybe_lora(x, qmatmul(x, lp["qkv_proj"]), lora_layer, "qkv_proj")
+    if use_rq and is_w8a8(lp["qkv_proj"]):
+        codes, rs = _rq(h, lp["input_layernorm"])
+        qkv = int8_linear_pre(codes, rs, lp["qkv_proj"], h.dtype)
+    else:
+        x = rms_norm(h, lp["input_layernorm"], cfg.rms_norm_eps)
+        qkv = _maybe_lora(x, qmatmul(x, lp["qkv_proj"]), lora_layer, "qkv_proj")
     attn = fused_rope_attention(
         qkv, cos, sin,
         n_heads=nh, n_kv_heads=nkv, head_dim=hd,
@@ -113,8 +135,12 @@ def decoder_layer(
     h = residual + attn
 
     residual = h
-    x = rms_norm(h, lp["post_attention_layernorm"], cfg.rms_norm_eps)
-    gate_up = _maybe_lora(x, qmatmul(x, lp["gate_up_proj"]), lora_layer, "gate_up_proj")
+    if use_rq and is_w8a8(lp["gate_up_proj"]):
+        codes, rs = _rq(h, lp["post_attention_layernorm"])
+        gate_up = int8_linear_pre(codes, rs, lp["gate_up_proj"], h.dtype)
+    else:
+        x = rms_norm(h, lp["post_attention_layernorm"], cfg.rms_norm_eps)
+        gate_up = _maybe_lora(x, qmatmul(x, lp["gate_up_proj"]), lora_layer, "gate_up_proj")
     gate, up = jnp.split(gate_up, 2, axis=-1)
     act = ACT2FN[cfg.hidden_act]
     mlp = up * act(gate)

@@ -225,6 +225,31 @@ def int8_linear(x: jnp.ndarray, qd: Dict[str, jnp.ndarray]) -> jnp.ndarray:
     return y.reshape(*lead, -1)
 
 
+def int8_linear_pre(
+    codes: jnp.ndarray, rowscale: jnp.ndarray, qd: Dict[str, jnp.ndarray],
+    dtype=jnp.bfloat16,
+) -> jnp.ndarray:
+    """W8A8 matmul over PRE-quantized activations: ``codes`` (..., in) int8 +
+    per-row ``rowscale`` (..., 1) f32 as produced by the quantizing norm
+    epilogues (ops/quant_epilogue.py ln_quant/rms_quant). Saves the
+    standalone dynamic-quantize HBM pass that _int8_matmul_2d pays when XLA
+    fails to fuse it into the producer (PERF.md int8 ledger: the CLIP
+    tower-level regression). Inference-only (no vjp: the epilogue path is
+    used on frozen quantized towers)."""
+    lead = codes.shape[:-1]
+    c2 = codes.reshape(-1, codes.shape[-1])
+    y = jax.lax.dot_general(
+        c2, qd[_Q8A], (((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.int32,
+    )
+    yf = (
+        y.astype(jnp.float32)
+        * (rowscale.reshape(-1, 1) / 127.0)
+        * qd["scale"].reshape(1, -1)
+    )
+    return yf.astype(dtype).reshape(*lead, -1)
+
+
 def qmatmul(x: jnp.ndarray, w) -> jnp.ndarray:
     """Linear dispatcher for layer weights that may be W8A8 dicts: the int8
     run-time path when quantized for inference, a plain matmul otherwise
