@@ -121,10 +121,13 @@ def _encoder_layer(
     # the LN emits int8 codes + row scales directly — the standalone
     # activation-quantize HBM pass that made tower-level CLIP int8 LOSE to
     # bf16 (PERF.md int8 ledger) disappears. LRT_LN_QUANT=0 opts out.
+    from ..ops.quant_epilogue import supported as _lnq_supported
+
     use_ln_quant = (
         lora_layer is None
         and os.environ.get("LRT_LN_QUANT", "1") != "0"
         and _on_tpu()
+        and _lnq_supported(h)
     )
 
     residual = h

@@ -108,12 +108,14 @@ def decoder_layer(
 
         return rms_quant(hid, gamma, cfg.rms_norm_eps)
 
+    from ..ops.quant_epilogue import supported as _lnq_supported
     from .clip_vit import _on_tpu
 
     use_rq = (
         lora_layer is None
         and os.environ.get("LRT_LN_QUANT", "1") != "0"
         and _on_tpu()
+        and _lnq_supported(h)
     )
 
     residual = h
