@@ -334,28 +334,55 @@ def fuse_decoder_projections(layers: dict) -> dict:
 
 
 def _decoder_layer(h, lp, tc: QwenTextConfig, cos, sin, attention_mask, attn_impl, lora_layer):
+    import os
+
     from ..ops.attention import fused_rope_attention
-    from ..utils.quantize import dequant_layer
+    from ..utils.quantize import dequant_layer, int8_linear_pre, is_w8a8
 
     lp = dequant_layer(lp, h.dtype)  # no-op unless weight-only quantized
     B, S, H = h.shape
     nh, nkv, hd = tc.num_heads, tc.num_kv_heads, tc.head_dim
 
+    # quantizing-RMSNorm epilogue for W8A8 fused-layout inference (same
+    # gating as phi3.decoder_layer; measured +1% fwd_int8 on the v5e)
+    from ..ops.quant_epilogue import supported as _lnq_supported
+    from .clip_vit import _on_tpu
+
+    use_rq = (
+        lora_layer is None
+        and os.environ.get("LRT_LN_QUANT", "1") != "0"
+        and _on_tpu()
+        and _lnq_supported(h)
+    )
+
+    def _rq_lin(hid, gamma, proj):
+        from ..ops.quant_epilogue import rms_quant
+
+        codes, rs = rms_quant(hid, gamma, tc.rms_norm_eps)
+        out = int8_linear_pre(codes, rs, proj["kernel"], hid.dtype)
+        if "bias" in proj:
+            out = out + proj["bias"]
+        return out
+
     residual = h
-    x = rms_norm(h, lp["input_layernorm"], tc.rms_norm_eps)
     if "qkv_proj" in lp:
         # fused-projection inference layout (fuse_decoder_projections):
         # ONE matmul (one activation-quantize pass under W8A8) feeding the
         # fused Pallas attention path — in-kernel rope, zero layout
         # transposes (direct kernel for MHA/vicuna, prep kernel for GQA).
         # LoRA never rides here: the adaptor merges adapters before fusing.
-        qkv = _lin(x, lp["qkv_proj"])
+        if use_rq and is_w8a8(lp["qkv_proj"]["kernel"]):
+            qkv = _rq_lin(h, lp["input_layernorm"], lp["qkv_proj"])
+        else:
+            x = rms_norm(h, lp["input_layernorm"], tc.rms_norm_eps)
+            qkv = _lin(x, lp["qkv_proj"])
         attn = fused_rope_attention(
             qkv, cos, sin, n_heads=nh, n_kv_heads=nkv, head_dim=hd,
             causal=True, key_padding_mask=attention_mask,
             sliding_window=tc.sliding_window, impl=attn_impl,
         )
     else:
+        x = rms_norm(h, lp["input_layernorm"], tc.rms_norm_eps)
         q = _maybe_lora(x, _lin(x, lp["q_proj"]), lora_layer, "q_proj")
         k = _maybe_lora(x, _lin(x, lp["k_proj"]), lora_layer, "k_proj")
         v = _maybe_lora(x, _lin(x, lp["v_proj"]), lora_layer, "v_proj")
@@ -373,11 +400,17 @@ def _decoder_layer(h, lp, tc: QwenTextConfig, cos, sin, attention_mask, attn_imp
     h = residual + attn
 
     residual = h
-    x = rms_norm(h, lp["post_attention_layernorm"], tc.rms_norm_eps)
     if "gate_up_proj" in lp:
-        gate_up = _lin(x, lp["gate_up_proj"])
+        if use_rq and is_w8a8(lp["gate_up_proj"]["kernel"]):
+            gate_up = _rq_lin(
+                h, lp["post_attention_layernorm"], lp["gate_up_proj"]
+            )
+        else:
+            x = rms_norm(h, lp["post_attention_layernorm"], tc.rms_norm_eps)
+            gate_up = _lin(x, lp["gate_up_proj"])
         gate, up = jnp.split(gate_up, 2, axis=-1)
     else:
+        x = rms_norm(h, lp["post_attention_layernorm"], tc.rms_norm_eps)
         gate = _maybe_lora(x, _lin(x, lp["gate_proj"]), lora_layer, "gate_proj")
         up = _maybe_lora(x, _lin(x, lp["up_proj"]), lora_layer, "up_proj")
     mlp = silu(gate) * up

@@ -50,14 +50,14 @@ def _rms_quant_kernel(x_ref, w_ref, o_ref, s_ref, *, eps: float):
     xf = x_ref[...].astype(jnp.float32)
     var = jnp.mean(xf * xf, axis=-1, keepdims=True)
     # reciprocal(sqrt()) — NOT lax.rsqrt — to match norms.py bit-for-bit;
-    # explicit reduce_precision reproduces the cast-to-bf16 rounding even
-    # where the backend keeps excess precision through a convert chain
+    # the explicit bf16 cast round-trips reproduce the cast-before-weight
+    # rounding (lax.reduce_precision has no Mosaic lowering)
     xn = xf * jnp.reciprocal(jnp.sqrt(var + eps))
     if x_ref.dtype == jnp.bfloat16:
-        xn = jax.lax.reduce_precision(xn, 8, 7)
-        y = jax.lax.reduce_precision(
-            w_ref[...].astype(jnp.float32) * xn, 8, 7
-        )
+        xn = xn.astype(jnp.bfloat16).astype(jnp.float32)
+        y = (w_ref[...].astype(jnp.float32) * xn).astype(
+            jnp.bfloat16
+        ).astype(jnp.float32)
     else:
         y = w_ref[...].astype(jnp.float32) * xn
     amax = jnp.max(jnp.abs(y), axis=-1, keepdims=True)

@@ -117,6 +117,43 @@ def test_phi3_decoder_w8a8_epilogue_wiring(rng, monkeypatch):
     assert np.median(rel) < 2e-3, np.median(rel)
 
 
+def test_qwen_fused_w8a8_epilogue_wiring(rng, monkeypatch):
+    """qwen/llava fused-layout decoder: rms_quant epilogue vs dynamic path."""
+    from llava_reward_tpu.core.config import qwen_tiny_config
+    from llava_reward_tpu.models import clip_vit, qwen25_vl
+    from llava_reward_tpu.models.qwen25_vl import fuse_decoder_projections
+
+    tc = qwen_tiny_config().text
+    params = qwen25_vl.init_text_params(jax.random.PRNGKey(0), tc, jnp.float32)
+    layers = quantize_stacked_layers(
+        jax.device_get(params["layers"]), scheme="w8a8", min_size=0,
+    )
+    fused = {**params, "layers": jax.tree_util.tree_map(
+        jnp.asarray, fuse_decoder_projections(layers)
+    )}
+    B, S = 2, 16
+    embeds = jnp.asarray(
+        rng.standard_normal((B, S, tc.hidden_size)).astype(np.float32)
+    )
+    mask = jnp.asarray(np.ones((B, S), np.int32))
+    pos1 = np.tile(np.arange(S, dtype=np.int32)[None], (B, 1))
+    pos = jnp.asarray(np.stack([pos1, pos1, pos1]))
+
+    def run():
+        out, _ = qwen25_vl.text_forward(
+            fused, tc, embeds, mask, pos, attn_impl="xla"
+        )
+        return np.asarray(out)
+
+    monkeypatch.setattr(clip_vit, "_on_tpu", lambda: True)  # interpret mode
+    monkeypatch.setenv("LRT_LN_QUANT", "1")
+    out_epi = run()
+    monkeypatch.setenv("LRT_LN_QUANT", "0")
+    out_dyn = run()
+    rel = np.abs(out_epi - out_dyn) / (np.abs(out_dyn) + 1e-2)
+    assert np.median(rel) < 2e-3, np.median(rel)
+
+
 def test_clip_tower_w8a8_epilogue_wiring(rng, monkeypatch):
     from llava_reward_tpu.core.config import VisionConfig
     from llava_reward_tpu.models import clip_vit
