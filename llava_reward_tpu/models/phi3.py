@@ -143,10 +143,23 @@ def decoder_layer(
     else:
         x = rms_norm(h, lp["post_attention_layernorm"], cfg.rms_norm_eps)
         gate_up = _maybe_lora(x, qmatmul(x, lp["gate_up_proj"]), lora_layer, "gate_up_proj")
-    gate, up = jnp.split(gate_up, 2, axis=-1)
-    act = ACT2FN[cfg.hidden_act]
-    mlp = up * act(gate)
-    mlp = _maybe_lora(mlp, qmatmul(mlp, lp["down_proj"]), lora_layer, "down_proj")
+    if (
+        use_rq
+        and is_w8a8(lp["down_proj"])
+        and cfg.hidden_act == "silu"
+        and cfg.intermediate_size % 128 == 0
+    ):
+        # silu(gate)*up fused straight to int8 codes: the down matmul's
+        # quantize pass reads the model's largest activation (M, I)
+        from ..ops.quant_epilogue import silu_mul_quant
+
+        codes, rs = silu_mul_quant(gate_up)
+        mlp = int8_linear_pre(codes, rs, lp["down_proj"], h.dtype)
+    else:
+        gate, up = jnp.split(gate_up, 2, axis=-1)
+        act = ACT2FN[cfg.hidden_act]
+        mlp = up * act(gate)
+        mlp = _maybe_lora(mlp, qmatmul(mlp, lp["down_proj"]), lora_layer, "down_proj")
     return residual + mlp
 
 

@@ -408,6 +408,19 @@ def _decoder_layer(h, lp, tc: QwenTextConfig, cos, sin, attention_mask, attn_imp
         else:
             x = rms_norm(h, lp["post_attention_layernorm"], tc.rms_norm_eps)
             gate_up = _lin(x, lp["gate_up_proj"])
+        if (
+            use_rq
+            and is_w8a8(lp["down_proj"]["kernel"])
+            and tc.intermediate_size % 128 == 0
+        ):
+            # silu(gate)*up fused straight to int8 codes for down_proj
+            from ..ops.quant_epilogue import silu_mul_quant
+
+            codes, rs = silu_mul_quant(gate_up)
+            mlp = int8_linear_pre(codes, rs, lp["down_proj"]["kernel"], h.dtype)
+            if "bias" in lp["down_proj"]:
+                mlp = mlp + lp["down_proj"]["bias"]
+            return residual + mlp
         gate, up = jnp.split(gate_up, 2, axis=-1)
     else:
         x = rms_norm(h, lp["post_attention_layernorm"], tc.rms_norm_eps)

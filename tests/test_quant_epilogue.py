@@ -81,6 +81,30 @@ def test_odd_row_count_blocks(rng):
     np.testing.assert_array_equal(np.asarray(codes), np.round(ref * (127.0 / amax)))
 
 
+def test_silu_mul_quant_matches(rng):
+    from llava_reward_tpu.ops.quant_epilogue import silu_mul_quant
+
+    for dtype in (jnp.float32, jnp.bfloat16):
+        gu = jnp.asarray(
+            rng.standard_normal((2, 24, 512)).astype(np.float32)
+        ).astype(dtype)
+        codes, scale = silu_mul_quant(gu)
+        g = np.asarray(gu[..., :256], np.float32)
+        u = np.asarray(gu[..., 256:], np.float32)
+        y = g / (1.0 + np.exp(-g)) * u
+        if dtype == jnp.bfloat16:
+            y = np.asarray(jnp.asarray(y).astype(jnp.bfloat16), np.float32)
+        amax = np.abs(y).max(-1, keepdims=True)
+        amax = np.where(amax > 0, amax, 1.0)
+        want = np.round(y * (127.0 / amax))
+        d = np.abs(np.asarray(codes) - want)
+        # sigmoid rounding differs in the last ulp between backends: +-1 code
+        assert d.max() <= 1, d.max()
+        assert (d > 0).mean() < 0.02
+        np.testing.assert_allclose(np.asarray(scale)[..., 0], amax[..., 0],
+                                   rtol=1e-5)
+
+
 def test_phi3_decoder_w8a8_epilogue_wiring(rng, monkeypatch):
     """decoder_layer with W8A8 leaves must produce (near-)identical rewards
     whether the activation is quantized by the epilogue or dynamically."""
