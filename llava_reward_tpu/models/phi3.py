@@ -133,7 +133,16 @@ def decoder_layer(
         sliding_window=cfg.sliding_window,
         impl=attn_impl,
     )  # (B, S, nh*hd); pallas fused path on TPU, split+rope+mha elsewhere
-    attn = _maybe_lora(attn, qmatmul(attn, lp["o_proj"]), lora_layer, "o_proj")
+    if use_rq and is_w8a8(lp["o_proj"]):
+        # attention output comes from a Pallas custom call: XLA can't fuse
+        # the dynamic quantize into it, so the one-pass row_quant saves a
+        # full HBM read of (M, H) per layer
+        from ..ops.quant_epilogue import row_quant
+
+        codes, rs = row_quant(attn)
+        attn = int8_linear_pre(codes, rs, lp["o_proj"], h.dtype)
+    else:
+        attn = _maybe_lora(attn, qmatmul(attn, lp["o_proj"]), lora_layer, "o_proj")
     h = residual + attn
 
     residual = h

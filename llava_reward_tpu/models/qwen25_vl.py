@@ -396,6 +396,10 @@ def _decoder_layer(h, lp, tc: QwenTextConfig, cos, sin, attention_mask, attn_imp
             q, k, v, causal=True, key_padding_mask=attention_mask,
             sliding_window=tc.sliding_window, impl=attn_impl,
         ).reshape(B, S, nh * hd)
+    # NOTE: row_quant for o_proj measured a consistent small LOSS here
+    # (qwen 4.67 -> 4.61-4.64, llava 1.44 -> 1.42) while WINNING on phi3
+    # (3.66 -> 3.68) — per-shape, like the whole int8 ledger. Only
+    # phi3.decoder_layer carries it.
     attn = _maybe_lora(attn, _lin(attn, lp["o_proj"]), lora_layer, "o_proj")
     h = residual + attn
 

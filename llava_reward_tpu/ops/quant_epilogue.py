@@ -180,6 +180,48 @@ def silu_mul_quant(gate_up, *, interpret=None):
     return codes.reshape(*lead, I), scale.reshape(*lead, 1)
 
 
+def _row_quant_kernel(x_ref, o_ref, s_ref):
+    xf = x_ref[...].astype(jnp.float32)
+    amax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    amax = jnp.where(amax > 0, amax, 1.0)
+    o_ref[...] = jnp.round(xf * (127.0 / amax)).astype(jnp.int8)
+    s_ref[...] = amax
+
+
+def row_quant(x, *, interpret=None):
+    """Per-row symmetric int8 quantization in ONE VMEM pass (absmax + round
+    together). XLA's dynamic quantize needs two passes over the activation
+    (amax reduce, then scale+round) and cannot fuse either into a Pallas
+    producer (custom-call boundary) — so for activations produced by our
+    attention kernels (o_proj input) this saves a full HBM read."""
+    if interpret is None:
+        interpret = jax.devices()[0].platform != "tpu"
+    H = x.shape[-1]
+    lead = x.shape[:-1]
+    M = 1
+    for d in lead:
+        M *= d
+    x2 = x.reshape(M, H)
+    bm = 512 if H <= 1536 else 256
+    if M % bm != 0:
+        bm = next(b for b in (256, 128, 64, 32, 16, 8, 1) if M % b == 0)
+    codes, scale = pl.pallas_call(
+        _row_quant_kernel,
+        grid=(M // bm,),
+        in_specs=[pl.BlockSpec((bm, H), lambda i: (i, 0))],
+        out_specs=[
+            pl.BlockSpec((bm, H), lambda i: (i, 0)),
+            pl.BlockSpec((bm, 1), lambda i: (i, 0)),
+        ],
+        out_shape=[
+            jax.ShapeDtypeStruct((M, H), jnp.int8),
+            jax.ShapeDtypeStruct((M, 1), jnp.float32),
+        ],
+        interpret=interpret,
+    )(x2)
+    return codes.reshape(*lead, H), scale.reshape(*lead, 1)
+
+
 def supported(x) -> bool:
     """The kernel wants a lane-aligned feature axis and f32/bf16 input."""
     return (

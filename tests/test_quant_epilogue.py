@@ -105,6 +105,19 @@ def test_silu_mul_quant_matches(rng):
                                    rtol=1e-5)
 
 
+def test_row_quant_matches_dynamic(rng):
+    from llava_reward_tpu.ops.quant_epilogue import row_quant
+
+    x = jnp.asarray(rng.standard_normal((3, 40, 256)).astype(np.float32))
+    codes, scale = row_quant(x)
+    xf = np.asarray(x)
+    amax = np.abs(xf).max(-1, keepdims=True)
+    np.testing.assert_array_equal(
+        np.asarray(codes), np.round(xf * (127.0 / amax))
+    )
+    np.testing.assert_allclose(np.asarray(scale), amax, rtol=1e-6)
+
+
 def test_phi3_decoder_w8a8_epilogue_wiring(rng, monkeypatch):
     """decoder_layer with W8A8 leaves must produce (near-)identical rewards
     whether the activation is quantized by the epilogue or dynamically."""
