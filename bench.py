@@ -679,8 +679,10 @@ _DEFAULT_EST = {
 }
 # never-yet-driver-reported metrics FIRST (VERDICT r4 item 1: llava_int8 and
 # e2e starved two rounds straight when the headline metrics ran first under a
-# cold cache), then the headline bf16/int8 numbers, train, qwen
-_PRIORITY = ("llava_int8", "e2e", "fwd_bf16", "fwd_int8", "train", "qwen_int8")
+# cold cache), then the headline bf16/int8 numbers. train runs LAST: its
+# executable-load cost swings 30-400 s with axon service health (PERF.md),
+# and if it overruns it must not starve the cheap qwen metric (~15 s warm).
+_PRIORITY = ("llava_int8", "e2e", "fwd_bf16", "fwd_int8", "qwen_int8", "train")
 _DUR_FILE = os.path.join(
     os.environ.get("JAX_COMPILATION_CACHE_DIR", "/root/jaxcache"),
     "bench_durations.json",
